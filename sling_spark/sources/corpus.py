@@ -1,0 +1,209 @@
+"""Deterministic synthetic source-code corpus.
+
+Produces the exact input shape demanded by BASELINE.json's input_hint:
+``(repo: string, path: string, commit: string, lang: string,
+content: string)`` — the stand-in for an Iceberg table of source-code
+repositories at 10^12-file scale. Generation is pure and per-file
+deterministic (seeded from blake2(repo/path)), so any scale factor can be
+regenerated identically on any executor — rows are generated *inside*
+Spark partitions via mapInPandas, never collected on the driver.
+
+Skew is deliberate: repo sizes are Zipfian (FIXTURES.md §1 "a few repos
+hold ~50% of rows"), which is what the salted-repartition path and AQE
+skew handling are tested against.
+
+A small fraction of files carries TWO commits (version 0 and 1) to
+exercise last-writer-wins semantics (the reference orders messages by
+serial within key — sling/task/sorter.cc:37-56).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from . import kb
+
+LANGS = ["python", "java", "go", "js", "md"]
+
+_COMMENT = {"python": "#", "java": "//", "go": "//", "js": "//", "md": ""}
+
+# sentence templates per property (relation-extraction opportunities):
+# both the subject and object alias appear in ONE line (= one sentence
+# unit), which is the relations annotator's window (relations.cc:70-188).
+_REL_TEMPLATES = {
+    "P1": ["{s} depends on {o} for the core runtime",
+           "{s} builds on top of {o} internals",
+           "note that {s} requires {o} at runtime"],
+    "P2": ["{s} is written in {o} for speed",
+           "the {s} engine is implemented in {o}"],
+    "P3": ["{s} is developed by {o} engineers",
+           "{s} is maintained by the {o} team"],
+    "P4": ["{s} is licensed under the {o} terms",
+           "{s} ships under {o}"],
+    "P5": ["{s} reads and writes {o} files natively",
+           "{s} uses {o} as its storage format"],
+}
+
+_SINGLE_TEMPLATES = [
+    "we use {s} for the data processing layer",
+    "this module wraps the {s} client",
+    "benchmark harness for {s} workloads",
+    "{s} integration helpers live here",
+]
+
+_NOISE = [
+    "load the configuration from the environment",
+    "retry with exponential backoff on transient failures",
+    "validate the request payload before dispatch",
+    "emit metrics to the local collector",
+    "cache results keyed by the request digest",
+    "rotate the log files once per day",
+]
+
+_IDENTS = ["handler", "worker", "cursor", "buffer", "router", "codec",
+           "planner", "scheduler", "broker", "registry", "sampler", "probe"]
+
+
+def _seed(repo: str, path: str, version: int) -> int:
+    h = hashlib.blake2b(f"{repo}/{path}@{version}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big")
+
+
+def commit_hex(repo: str, path: str, version: int) -> str:
+    return hashlib.blake2b(
+        f"{repo}/{path}#commit{version}".encode(), digest_size=20
+    ).hexdigest()
+
+
+# precomputed weighted-alias sampling support (module-level constants,
+# shared by all workers; cheap to rebuild per process)
+_ENTITY_ALIASES: dict[str, list[tuple[str, int]]] = {
+    e[0]: list(e[3]) for e in kb._E
+}
+_REL_SUBJECTS = [qid for qid, _n, _t, _a, stmts, _x in kb._E
+                 if any(p not in kb.BLOCKED_PROPERTIES for p, _ in stmts)]
+_STATEMENTS = kb.statements_lookup()
+
+
+def _pick_alias(rng: random.Random, qid: str) -> str:
+    aliases = _ENTITY_ALIASES[qid]
+    total = sum(c for _t, c in aliases)
+    x = rng.randrange(total)
+    for text, c in aliases:
+        x -= c
+        if x < 0:
+            return text
+    return aliases[0][0]
+
+
+def repo_of_file(i: int, n_repos: int) -> int:
+    """Zipf-ish repo assignment: file i goes to repo floor(sqrt) style.
+    Deterministic, order-free; repo 0 gets ~ n/H share, heavy head."""
+    # inverse-CDF of 1/(r+1) weights via a fixed hash draw
+    h = int.from_bytes(hashlib.blake2b(f"file{i}".encode(), digest_size=8).digest(), "big")
+    u = (h % 10**9) / 10**9
+    # harmonic weights
+    hn = sum(1.0 / (r + 1) for r in range(n_repos))
+    acc = 0.0
+    for r in range(n_repos):
+        acc += (1.0 / (r + 1)) / hn
+        if u <= acc:
+            return r
+    return n_repos - 1
+
+
+def file_spec(i: int, n_files: int) -> tuple[str, str, str, list[int]]:
+    """(repo, path, lang, versions) for file index i."""
+    n_repos = max(3, n_files // 40)
+    r = repo_of_file(i, n_repos)
+    repo = f"org/proj{r}"
+    lang = LANGS[i % len(LANGS)]
+    ext = {"python": "py", "java": "java", "go": "go", "js": "js", "md": "md"}[lang]
+    path = f"src/mod{i % 97}/file{i}.{ext}"
+    versions = [0, 1] if i % 20 == 7 else [0]  # 5% of files have 2 commits
+    return repo, path, lang, versions
+
+
+def generate_content(repo: str, path: str, lang: str, version: int) -> str:
+    """Deterministic file body: comment sentences carrying entity
+    mentions + code-ish filler lines."""
+    rng = random.Random(_seed(repo, path, version))
+    c = _COMMENT[lang]
+    lines: list[str] = []
+
+    def comment(text: str) -> None:
+        lines.append(f"{c} {text}".strip())
+
+    n_sent = rng.randint(6, 16)
+    primed: list[str] = []  # entities already mentioned (context priming)
+    for _ in range(n_sent):
+        kind = rng.randrange(10)
+        if kind < 5:  # relation sentence
+            s = rng.choice(_REL_SUBJECTS)
+            stmts = [st for st in _STATEMENTS[s] if st[0] not in kb.BLOCKED_PROPERTIES]
+            pid, obj = rng.choice(stmts)
+            tpl = rng.choice(_REL_TEMPLATES[pid])
+            comment(tpl.format(s=_pick_alias(rng, s), o=_pick_alias(rng, obj)))
+            primed.extend([s, obj])
+        elif kind < 8:  # single-mention sentence
+            s = rng.choice(list(_ENTITY_ALIASES))
+            comment(rng.choice(_SINGLE_TEMPLATES).format(s=_pick_alias(rng, s)))
+            primed.append(s)
+        else:
+            comment(rng.choice(_NOISE))
+        # filler code line between comments
+        if rng.randrange(3) == 0:
+            a, b = rng.choice(_IDENTS), rng.choice(_IDENTS)
+            if lang == "python":
+                lines.append(f"def {a}_{b}(x):")
+                lines.append(f"    return {b}(x) + {version}")
+            elif lang == "md":
+                lines.append("")
+                lines.append(f"## {a} {b}")
+            else:
+                lines.append(f"function {a}_{b}(x) {{ return {b}(x) + {version}; }}"
+                             if lang == "js" else f"int {a}_{b}(int x) {{ return x + {version}; }}")
+    # pad to ~1-4 KB with noise comments
+    while sum(len(ln) + 1 for ln in lines) < rng.randint(900, 3500):
+        comment(rng.choice(_NOISE) + f" ({rng.randrange(1000)})")
+    return "\n".join(lines) + "\n"
+
+
+def corpus_rows(n_files: int, lo: int = 0, hi: int | None = None):
+    """Yield corpus dict rows for file indices [lo, hi) — callable inside
+    a Spark partition (mapInPandas) for distributed generation."""
+    hi = n_files if hi is None else hi
+    for i in range(lo, min(hi, n_files)):
+        repo, path, lang, versions = file_spec(i, n_files)
+        for v in versions:
+            yield {
+                "repo": repo,
+                "path": path,
+                "commit": commit_hex(repo, path, v),
+                "lang": lang,
+                "content": generate_content(repo, path, lang, v),
+            }
+
+
+def corpus_df(spark, n_files: int, partitions: int | None = None):
+    """Distributed corpus DataFrame: an index range partitioned by Spark,
+    content generated inside each partition (no driver materialization —
+    this is how a 10^12-row table would be synthesized/read too)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
+    idx = spark.range(0, n_files, 1, partitions).select(F.col("id").cast("long"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                rows.extend(corpus_rows(n_files, int(i), int(i) + 1))
+            yield pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    return idx.mapInPandas(gen, schema=schema)

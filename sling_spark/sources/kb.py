@@ -1,0 +1,415 @@
+"""Seed knowledge base — the analog of SLING's commons/auxin inputs.
+
+Shapes follow FIXTURES.md §2 (items / aliases / same_as / links /
+popularity), which themselves mirror the reference KB data model:
+item frames (doc/guide/wikiflow.md:130-209), alias records with
+count/form/sources (sling/nlp/wiki/wiki.h:48-64), xref edges
+(sling/nlp/kb/xref.h:79-152) and resolver context inputs
+(sling/nlp/kb/resolver.cc:31-55, :140-151).
+
+The domain is software projects (our corpus is source code). Everything
+is a deterministic literal — no randomness, no external data. Ambiguity
+is deliberate: "spark" names both Q1 (Apache Spark) and Q33 (SPARK/Ada),
+"arrow" both Q5 and Q63, so the resolver's context scoring is actually
+exercised.
+"""
+
+from __future__ import annotations
+
+from ..functions.normalize import normalize_phrase
+from ..functions.tokenize import phrase_fingerprint, phrase_form
+
+# --- properties -----------------------------------------------------------
+
+PROPERTIES: dict[str, str] = {
+    "P1": "depends on",
+    "P2": "written in",
+    "P3": "developed by",
+    "P4": "license",
+    "P5": "uses format",
+    "P6": "release date",  # literal-valued (date precision merge cases)
+    "P279": "subclass of",
+}
+
+# relation-extraction property priority (analog of relations.cc:38-55
+# P27>P17>P19>P20>P119) and blocked list (relations.cc:56-66).
+PROPERTY_PRIORITY: list[str] = ["P1", "P2", "P5", "P3", "P4"]
+BLOCKED_PROPERTIES: set[str] = {"P279"}
+
+# alias source bitmask (subset of the 16 AliasSource values, wiki.h:48-64)
+SRC_NAME = 1  # canonical item name
+SRC_ALIAS = 2  # curated alias
+SRC_ANCHOR = 4  # corpus-derived anchor (import/usage)
+
+# xref namespace priority: lower = more canonical; "Q" is the single
+# "main" namespace (xref.h:109-119 canonical ordering).
+NAMESPACE_PRIORITY: dict[str, int] = {
+    "Q": 0,
+    "github": 1,
+    "pypi": 2,
+    "maven": 3,
+    "crates": 4,
+    "npm": 5,
+}
+CASELESS_NAMESPACES: set[str] = {"github", "pypi", "maven", "npm"}  # lowercased on ingest
+
+# --- entity catalog --------------------------------------------------------
+# (id, name, types, aliases[(text, count)], statements[(pid, obj)],
+#  alt_ids[(namespace, key)])
+# alias counts are the prior weights the resolver multiplies by
+# (resolver.cc:100-131: score = context * count).
+
+_E = [
+    ("Q1", "Apache Spark", ["framework"],
+     [("Apache Spark", 120), ("Spark", 300), ("PySpark", 90)],
+     [("P1", "Q2"), ("P2", "Q15"), ("P3", "Q50"), ("P4", "Q60"), ("P5", "Q20")],
+     [("github", "apache/spark"), ("pypi", "pyspark"), ("maven", "org.apache.spark")]),
+    ("Q2", "Apache Hadoop", ["framework"],
+     [("Apache Hadoop", 80), ("Hadoop", 200)],
+     [("P2", "Q11"), ("P3", "Q50"), ("P4", "Q60")],
+     [("github", "apache/hadoop"), ("maven", "org.apache.hadoop")]),
+    ("Q3", "NumPy", ["library"],
+     [("NumPy", 250), ("numpy", 400)],
+     [("P2", "Q16"), ("P4", "Q62"), ("P1", "Q10")],
+     [("github", "numpy/numpy"), ("pypi", "numpy")]),
+    ("Q4", "pandas", ["library"],
+     [("pandas", 350)],
+     [("P1", "Q3"), ("P2", "Q10"), ("P4", "Q62")],
+     [("github", "pandas-dev/pandas"), ("pypi", "pandas")]),
+    ("Q5", "Apache Arrow", ["library"],
+     [("Apache Arrow", 70), ("Arrow", 150), ("pyarrow", 60)],
+     [("P2", "Q16"), ("P3", "Q50"), ("P4", "Q60"), ("P5", "Q20")],
+     [("github", "apache/arrow"), ("pypi", "pyarrow")]),
+    ("Q6", "TensorFlow", ["library"],
+     [("TensorFlow", 220), ("tensorflow", 180), ("TF", 40)],
+     [("P2", "Q16"), ("P3", "Q51"), ("P4", "Q60"), ("P1", "Q3")],
+     [("github", "tensorflow/tensorflow"), ("pypi", "tensorflow")]),
+    ("Q7", "PyTorch", ["library"],
+     [("PyTorch", 240), ("torch", 160)],
+     [("P2", "Q16"), ("P3", "Q52"), ("P4", "Q62"), ("P1", "Q3")],
+     [("github", "pytorch/pytorch"), ("pypi", "torch")]),
+    ("Q8", "Apache Kafka", ["system"],
+     [("Apache Kafka", 60), ("Kafka", 170)],
+     [("P2", "Q15"), ("P3", "Q50"), ("P4", "Q60")],
+     [("github", "apache/kafka"), ("maven", "org.apache.kafka")]),
+    ("Q9", "Apache Flink", ["framework"],
+     [("Apache Flink", 40), ("Flink", 110)],
+     [("P2", "Q11"), ("P3", "Q50"), ("P4", "Q60")],
+     [("github", "apache/flink"), ("maven", "org.apache.flink")]),
+    ("Q10", "Python", ["language"],
+     [("Python", 500), ("python", 450), ("CPython", 30)],
+     [("P2", "Q16"), ("P4", "Q64")],
+     [("github", "python/cpython")]),
+    ("Q11", "Java", ["language"],
+     [("Java", 400)],
+     [("P4", "Q62")],
+     []),
+    ("Q12", "Go", ["language"],
+     [("Go", 260), ("Golang", 120)],
+     [("P3", "Q51"), ("P4", "Q62")],
+     [("github", "golang/go")]),
+    ("Q13", "JavaScript", ["language"],
+     [("JavaScript", 320), ("JS", 90)],
+     [],
+     []),
+    ("Q14", "Rust", ["language"],
+     [("Rust", 280)],
+     [("P4", "Q61")],
+     [("github", "rust-lang/rust")]),
+    ("Q15", "Scala", ["language"],
+     [("Scala", 180)],
+     [("P1", "Q11")],
+     [("github", "scala/scala")]),
+    ("Q16", "C++", ["language"],
+     [("C++", 300), ("cpp", 70)],
+     [],
+     []),
+    ("Q17", "Ada", ["language"],
+     [("Ada", 50)],
+     [],
+     []),
+    ("Q20", "Apache Parquet", ["format"],
+     [("Apache Parquet", 30), ("Parquet", 140)],
+     [("P3", "Q50"), ("P4", "Q60")],
+     [("github", "apache/parquet-format")]),
+    ("Q21", "Apache Avro", ["format"],
+     [("Avro", 60)],
+     [("P3", "Q50"), ("P4", "Q60")],
+     []),
+    ("Q23", "JSON", ["format"],
+     [("JSON", 310)],
+     [],
+     []),
+    ("Q24", "Protocol Buffers", ["format"],
+     [("Protocol Buffers", 40), ("protobuf", 130)],
+     [("P3", "Q51"), ("P4", "Q62")],
+     [("github", "protocolbuffers/protobuf")]),
+    ("Q30", "Apache Airflow", ["system"],
+     [("Apache Airflow", 30), ("Airflow", 100)],
+     [("P2", "Q10"), ("P3", "Q50"), ("P4", "Q60")],
+     [("github", "apache/airflow"), ("pypi", "apache-airflow")]),
+    ("Q31", "Dask", ["library"],
+     [("Dask", 80)],
+     [("P2", "Q10"), ("P1", "Q4"), ("P4", "Q62")],
+     [("github", "dask/dask"), ("pypi", "dask")]),
+    ("Q32", "Ray", ["framework"],
+     [("Ray", 90)],
+     [("P2", "Q10"), ("P4", "Q60"), ("P1", "Q5")],
+     [("github", "ray-project/ray"), ("pypi", "ray")]),
+    ("Q33", "SPARK", ["language"],
+     [("SPARK", 25), ("Spark", 15)],  # ambiguous with Q1
+     [("P1", "Q17")],
+     [("github", "adacore/spark2014")]),
+    ("Q34", "React", ["library"],
+     [("React", 210)],
+     [("P2", "Q13"), ("P3", "Q52"), ("P4", "Q61")],
+     [("github", "facebook/react"), ("npm", "react")]),
+    ("Q35", "Node.js", ["runtime"],
+     [("Node.js", 150), ("nodejs", 80), ("node", 120)],
+     [("P2", "Q16"), ("P1", "Q13"), ("P4", "Q61")],
+     [("github", "nodejs/node")]),
+    ("Q36", "Kubernetes", ["system"],
+     [("Kubernetes", 190), ("k8s", 110)],
+     [("P2", "Q12"), ("P3", "Q51"), ("P4", "Q60")],
+     [("github", "kubernetes/kubernetes")]),
+    ("Q37", "Docker", ["system"],
+     [("Docker", 230)],
+     [("P2", "Q12"), ("P4", "Q60")],
+     [("github", "moby/moby")]),
+    ("Q38", "Redis", ["system"],
+     [("Redis", 160)],
+     [("P2", "Q16")],
+     [("github", "redis/redis"), ("pypi", "redis"), ("crates", "redis")]),
+    ("Q39", "PostgreSQL", ["system"],
+     [("PostgreSQL", 120), ("Postgres", 140), ("psql", 20)],
+     [("P2", "Q16")],
+     [("github", "postgres/postgres")]),
+    ("Q40", "DuckDB", ["system"],
+     [("DuckDB", 70)],
+     [("P2", "Q16"), ("P4", "Q61"), ("P5", "Q20")],
+     [("github", "duckdb/duckdb"), ("pypi", "duckdb")]),
+    ("Q50", "Apache Software Foundation", ["organization"],
+     [("Apache Software Foundation", 50), ("Apache", 180), ("ASF", 40)],
+     [],
+     [("github", "apache")]),
+    ("Q51", "Google", ["organization"],
+     [("Google", 260)],
+     [],
+     [("github", "google")]),
+    ("Q52", "Meta", ["organization"],
+     [("Meta", 90), ("Facebook", 110)],
+     [],
+     [("github", "facebook")]),
+    ("Q53", "Databricks", ["organization"],
+     [("Databricks", 60)],
+     [],
+     [("github", "databricks")]),
+    ("Q60", "Apache License 2.0", ["license"],
+     [("Apache License 2.0", 40), ("Apache 2.0", 80), ("Apache License", 30)],
+     [],
+     []),
+    ("Q61", "MIT License", ["license"],
+     [("MIT License", 50), ("MIT", 100)],
+     [],
+     []),
+    ("Q62", "BSD License", ["license"],
+     [("BSD License", 30), ("BSD", 70)],
+     [],
+     []),
+    ("Q63", "Arrow Functions", ["concept"],
+     [("arrow functions", 35), ("arrow", 45)],  # ambiguous with Q5
+     [("P1", "Q13")],
+     []),
+    ("Q64", "Python Software Foundation License", ["license"],
+     [("PSF License", 15)],
+     [],
+     []),
+]
+
+
+def entities() -> list[dict]:
+    """Item rows: FIXTURES.md §2 `items` schema."""
+    return [
+        {
+            "id": qid,
+            "name": name,
+            "types": types,
+            "statements": [
+                {"pid": pid, "object": obj, "qualifiers": {}} for pid, obj in stmts
+            ],
+        }
+        for qid, name, types, _aliases, stmts, _alt in _E
+    ]
+
+
+def alias_rows() -> list[dict]:
+    """Alias rows: FIXTURES.md §2 `aliases` schema (entity, alias, fp,
+    count, form, sources). The canonical name is also an alias (SRC_NAME)."""
+    rows: list[dict] = []
+    for qid, name, _types, aliases, _stmts, _alt in _E:
+        seen: set[str] = set()
+        for text, count in aliases:
+            sources = SRC_NAME if text == name else SRC_ALIAS
+            norm = normalize_phrase(text)
+            key = norm
+            if key in seen:
+                # same normalized phrase listed twice (case variants):
+                # keep both rows — forms differ
+                pass
+            seen.add(key)
+            rows.append(
+                {
+                    "entity": qid,
+                    "alias": text,
+                    "fp": phrase_fingerprint(text),
+                    "count": count,
+                    "form": phrase_form(text),
+                    "sources": sources,
+                }
+            )
+    return rows
+
+
+def same_as_edges() -> list[dict]:
+    """XRef input edges (FIXTURES.md §2 `same_as`) with adversarial cases:
+    chains, a ring, case-variant duplicates, and a two-main-id conflict
+    (must NOT merge — xref.cc:259-283 refusal semantics)."""
+    edges: list[dict] = []
+
+    def edge(a: str, b: str, redirect: bool = False) -> None:
+        na, nb = a.split(":", 1)[0], b.split(":", 1)[0]
+        edges.append(
+            {
+                "id_a": a,
+                "id_b": b,
+                "priority_a": NAMESPACE_PRIORITY[na],
+                "priority_b": NAMESPACE_PRIORITY[nb],
+                "redirect": redirect,
+            }
+        )
+
+    for qid, _name, _types, _aliases, _stmts, alt_ids in _E:
+        prev = f"Q:{qid}"
+        for ns, key in alt_ids:
+            # chain topology: Q -> first alt -> second alt ... (exercises
+            # transitive closure, not just star joins)
+            cur = f"{ns}:{key}"
+            edge(prev, cur)
+            prev = cur
+
+    # ring: redis alt ids close a cycle back to the github id
+    edge("crates:redis", "github:redis/redis")
+    # case-variant duplicate of a caseless-namespace id
+    edge("Q:Q1", "github:Apache/Spark")
+    # two-main conflict: a bad upstream link claims pypi:torch is both
+    # PyTorch and TensorFlow. The union that would merge Q6 and Q7 must be
+    # refused (both clusters already contain a main id).
+    edge("Q:Q6", "pypi:torch")
+    # redirect edge example
+    edge("github:facebook/react", "npm:react", redirect=True)
+    return edges
+
+
+def links_rows() -> list[dict]:
+    """Outbound link graph (resolver context input, resolver.cc:31-55).
+    Derived from KB statements: subject links to every statement object,
+    weight = 8; plus org->project links weight 4."""
+    rows: list[dict] = []
+    for qid, _name, _types, _aliases, stmts, _alt in _E:
+        for pid, obj in stmts:
+            rows.append({"src": qid, "dst": obj, "count": 8})
+            if pid == "P3":
+                rows.append({"src": obj, "dst": qid, "count": 4})
+    return rows
+
+
+def popularity_rows() -> list[dict]:
+    """Per-item popularity = sum of alias counts (the alias/anchor-count
+    semantics of /w/item/popularity, wikiflow.md:308-313)."""
+    return [
+        {"id": qid, "count": sum(c for _t, c in aliases)}
+        for qid, _name, _types, aliases, _stmts, _alt in _E
+    ]
+
+
+def source_item_fragments() -> list[dict]:
+    """Per-source item fragments keyed by ALT ids — the reconciler/merger
+    input (sling/nlp/kb/reconciler.cc:97-480). Fragments deliberately
+    exercise every merge case (FIXTURES.md §4 merge_cases):
+
+    - duplicate statements (same pid/object after canonicalization),
+    - object ids expressed as alt ids (need object rewriting),
+    - qualified statement subsuming an unqualified duplicate,
+    - deprecated-rank statements (dropped),
+    - date objects at different precisions (most precise wins),
+    - name conflicts resolved by source priority (lower wins).
+
+    ``source_priority``: 0 = seed KB, 1 = registry A, 2 = registry B.
+    """
+
+    def st(pid, obj, **quals):
+        return {"pid": pid, "object": obj, "qualifiers": dict(quals)}
+
+    return [
+        {  # Q1 via its github id: dup statement + alt-id object + qualifier
+            "id": "github:apache/spark",
+            "name": "apache/spark",
+            "types": ["repository"],
+            "statements": [
+                st("P2", "github:scala/scala"),   # dup of (P2, Q15) after rewrite
+                st("P4", "Q60"),                   # exact dup
+                st("P1", "Q2", since="2014"),      # qualified → subsumes seed (P1, Q2)
+                st("P6", "2014-02"),               # date, month precision
+            ],
+            "source_priority": 1,
+        },
+        {  # Q1 via pypi: more precise date + unqualified dup of qualified
+            "id": "pypi:pyspark",
+            "name": "pyspark",
+            "types": ["package"],
+            "statements": [
+                st("P6", "2014-02-27"),            # wins over 2014-02
+                st("P1", "Q2"),                    # subsumed by the qualified copy
+            ],
+            "source_priority": 2,
+        },
+        {  # Q3: deprecated-rank statement must be dropped
+            "id": "pypi:numpy",
+            "name": "numpy",
+            "types": ["package"],
+            "statements": [
+                st("P4", "Q61", rank="deprecated"),
+                st("P6", "2006"),
+            ],
+            "source_priority": 2,
+        },
+        {  # Q38 via the ring: plain extra statement
+            "id": "crates:redis",
+            "name": "redis-rs",
+            "types": ["package"],
+            "statements": [st("P2", "Q14")],
+            "source_priority": 1,
+        },
+        {  # pypi:torch — xref refusal keeps it with exactly one of Q6/Q7;
+            # its statements must land on that cluster only
+            "id": "pypi:torch",
+            "name": "torch",
+            "types": ["package"],
+            "statements": [st("P6", "2016-09")],
+            "source_priority": 2,
+        },
+        {  # case-variant id of a caseless namespace (normalizes into Q1)
+            "id": "github:Apache/Spark",
+            "name": "Apache/Spark",
+            "types": ["repository"],
+            "statements": [st("P5", "Q20")],       # dup of seed (P5, Q20)
+            "source_priority": 2,
+        },
+    ]
+
+
+def statements_lookup() -> dict[str, list[tuple[str, str]]]:
+    """subject -> [(pid, object)] for relation extraction (the Facts
+    analog, sling/nlp/kb/facts.h:30-90 — direct statements only; the
+    P31/P279 closure is out of scope and P279 is blocked anyway)."""
+    return {qid: list(stmts) for qid, _n, _t, _a, stmts, _alt in _E}

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from sling_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="sling_spark_tests", shuffle_partitions=8)
+    yield s

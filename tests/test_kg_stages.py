@@ -1,0 +1,119 @@
+"""Spark pipeline stages vs the pure-Python oracle (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sling_spark.kg.assets import build_assets, seed_dataframes
+from sling_spark.kg.documents import build_documents, idf_table
+from sling_spark.kg.mentions import detect_mentions
+from sling_spark.kg.relations import extract_relations, facts_df
+from sling_spark.kg.xref import build_clusters
+from sling_spark.oracle import kg_oracle
+from sling_spark.sources.corpus import corpus_df
+
+N_FILES = 60
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    docs = kg_oracle.latest_corpus(N_FILES)
+    pt = kg_oracle.build_phrase_table()
+    idf = kg_oracle.build_idf(docs)
+    popularity = {r["id"]: r["count"] for r in __import__("sling_spark.sources.kb", fromlist=["kb"]).popularity_rows()}
+    links = {}
+    from sling_spark.sources import kb as kbmod
+
+    for r in kbmod.links_rows():
+        links.setdefault(r["src"], []).append((r["dst"], r["count"]))
+    for v in links.values():
+        v.sort()
+    mentions = kg_oracle.annotate(docs, pt, idf, popularity, links)
+    relations = kg_oracle.extract_relations(mentions)
+    return {
+        "docs": docs,
+        "pt": pt,
+        "idf": idf,
+        "mentions": mentions,
+        "relations": relations,
+    }
+
+
+@pytest.fixture(scope="module")
+def stages(spark):
+    seed = seed_dataframes(spark)
+    documents = build_documents(corpus_df(spark, N_FILES, partitions=4)).persist()
+    assets_bc, pt_df = build_assets(spark, documents, seed)
+    mentions = detect_mentions(documents, assets_bc).persist()
+    relations = extract_relations(mentions, facts_df(spark, seed["items"])).persist()
+    return {
+        "seed": seed,
+        "documents": documents,
+        "pt_df": pt_df,
+        "assets": assets_bc.value,
+        "mentions": mentions,
+        "relations": relations,
+    }
+
+
+def test_documents_match_oracle(stages, oracle):
+    got = {
+        (r["repo"], r["path"], r["commit"], r["content_sha"], r["n_tokens"])
+        for r in stages["documents"].collect()
+    }
+    want = {
+        (d["repo"], d["path"], d["commit"], d["content_sha"], len(d["tokens"]))
+        for d in oracle["docs"]
+    }
+    assert got == want
+    assert len(got) == N_FILES  # latest-commit dedup kept one row per file
+
+
+def test_phrase_table_matches_oracle(stages, oracle):
+    got = {
+        r["fp"]: [(e["entity"], e["count"], e["form"], e["reliable"]) for e in r["entries"]]
+        for r in stages["pt_df"].collect()
+    }
+    assert got == oracle["pt"]
+
+
+def test_idf_matches_oracle(spark, stages, oracle):
+    got = {r["fp"]: r["idf"] for r in idf_table(stages["documents"]).collect()}
+    want = oracle["idf"]
+    assert set(got) == set(want)
+    for fp, v in want.items():
+        assert got[fp] == pytest.approx(v, abs=1e-12)
+
+
+def test_mentions_match_oracle(stages, oracle):
+    cols = ["repo", "path", "commit", "sentence", "begin", "end", "phrase",
+            "fp", "entity", "score", "form"]
+    got = {tuple(r[c] for c in cols) for r in stages["mentions"].collect()}
+    want = {tuple(m[c] for c in cols) for m in oracle["mentions"]}
+    assert got == want
+    assert len(got) > 100  # sanity: the corpus actually produces mentions
+
+
+def test_relations_match_oracle(stages, oracle):
+    cols = ["repo", "path", "commit", "sentence", "subj", "pred", "obj",
+            "begin", "end"]
+    got = [tuple(r[c] for c in cols) for r in stages["relations"].collect()]
+    want = [tuple(t[c] for c in cols) for t in oracle["relations"]]
+    assert sorted(got) == sorted(want)
+    assert len(got) > 20
+
+
+def test_xref_clusters_match_oracle(spark, stages):
+    got = {
+        r["member_id"]: r["canonical_id"]
+        for r in build_clusters(stages["seed"]["same_as"]).collect()
+    }
+    want = kg_oracle.build_clusters()
+    assert got == want
+    # adversarial invariants
+    assert got["github:apache/spark"] == "Q1"  # case-variant edge folded in
+    assert got["crates:redis"] == "Q38"  # ring closed fine
+    # two-main conflict: pypi:torch ends up in exactly one of Q6/Q7,
+    # and Q6/Q7 are NOT merged
+    assert got["pypi:torch"] in {"Q6", "Q7"}
+    assert got["Q:Q6"] == "Q6" and got["Q:Q7"] == "Q7"
