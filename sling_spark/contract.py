@@ -1,0 +1,945 @@
+"""Driver-contract queries: every entry pairs a Spark DataFrame program
+with an ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is explicitly aliased, identically on both sides;
+- doubles are ``round(x, 6)`` on both sides, computed with the same
+  scalar arithmetic in the same order;
+- counts / sums of integers are cast to BIGINT on both sides (DuckDB
+  sums into HUGEINT by default);
+- timestamps are returned as epoch-second BIGINTs (Spark session TZ is
+  UTC; DuckDB is UTC-naive);
+- rankings order by the ROUNDED measure with an id tie-break, so float
+  noise below 1e-6 cannot flip row selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.textstats import LANG_MARKERS
+
+MERSENNE61 = (1 << 61) - 1
+H31 = 2147483647  # 2^31 - 1: pre-shrink modulus keeping products in int64
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _portable_hash(col):
+    """63-bit hash of a string, identical in Spark and DuckDB:
+    int(md5[:15 hex], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SQL_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_perm(i: int):
+    a, b = 2 * i + 1, i * 40503 + 7
+    return a, b
+
+
+# ===========================================================================
+# TPC-H-style OLAP queries (engine credibility: scans, joins, aggs, windows)
+# ===========================================================================
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6)                                        AS sum_qty,
+       round(sum(l_extendedprice), 6)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)::BIGINT                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            "revenue",
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+_SQL_Q3 = """
+WITH rev AS (
+  SELECT l_orderkey,
+         epoch(o_orderdate)::BIGINT AS orderdate_epoch,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15'
+    AND l_shipdate  > TIMESTAMP '1996-03-15'
+  GROUP BY l_orderkey, o_orderdate
+)
+SELECT l_orderkey, orderdate_epoch, revenue
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rn FROM rev)
+WHERE rn <= 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_topk_parts_per_brand(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "brand_rank")
+    )
+
+
+_SQL_TOPK_PARTS = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, brand_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS brand_rank
+  FROM rev
+) WHERE brand_rank <= 3
+"""
+
+
+def q_customer_order_stats(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .select("c_custkey", "c_mktsegment", "n_orders", "total_spend", "avg_spend")
+    )
+
+
+_SQL_CUST_STATS = """
+SELECT c_custkey, c_mktsegment, n_orders, total_spend, avg_spend
+FROM (
+  SELECT o_custkey,
+         count(*)::BIGINT AS n_orders,
+         round(sum(o_totalprice), 6) AS total_spend,
+         round(avg(o_totalprice), 6) AS avg_spend
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+) JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_orders_semi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    heavy = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(heavy, orders["o_orderkey"] == heavy["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+_SQL_SEMI = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+GROUP BY o_orderpriority
+"""
+
+
+def q_parts_anti_join(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_unsold"),
+            F.round(F.sum("p_retailprice"), 6).alias("unsold_value"),
+        )
+    )
+
+
+_SQL_ANTI = """
+SELECT p_brand, count(*)::BIGINT AS n_unsold,
+       round(sum(p_retailprice), 6) AS unsold_value
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+def q_order_status_pivot(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    return agg
+
+
+_SQL_PIVOT = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ===========================================================================
+# events: sessionization, tumbling windows, JSON, top-k
+# ===========================================================================
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.col("ts").cast("long").alias("epoch")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("epoch").over(w).isNull()
+            | ((F.col("epoch") - F.lag("epoch").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("epoch").alias("start_epoch"),
+        F.max("epoch").alias("end_epoch"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch(ts)::BIGINT AS epoch FROM events
+), gapped AS (
+  SELECT *, CASE WHEN lag(epoch) OVER w IS NULL
+                   OR epoch - lag(epoch) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY epoch, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(epoch) AS start_epoch, max(epoch) AS end_epoch,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = (F.floor(F.col("ts").cast("long") / 300) * 300).cast("long")
+    return (
+        ev.withColumn("window_start", win)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+_SQL_TUMBLING = """
+SELECT (floor(epoch(ts)::BIGINT / 300) * 300)::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+_SQL_JSON = """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_topk_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+_SQL_TOPK_USERS = """
+SELECT user_id, total_value, n_events, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rank
+  FROM (
+    SELECT user_id, round(sum(value), 6) AS total_value,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id
+  )
+) WHERE rank <= 10
+"""
+
+
+# ===========================================================================
+# documents: dedup, text stats, fingerprints, near-dup, minhash, simhash
+# ===========================================================================
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ mutated copies of doc_id<25 (id+100000, one appended
+    token) — the deterministic near-dup fixture both engines build."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" duplicated sentinel")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups).unionByName(exact)
+
+
+_SQL_DOCS_DUPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' duplicated sentinel' AS text
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 10
+"""
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+_SQL_EXACT_DEDUP = f"""
+SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM ({_SQL_DOCS_DUPS}) GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_doc_token_count(spark, sf_dir):
+    from .operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from .operators.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs.select("doc_id", "text")).select("doc_id", "pred_lang")
+
+
+def _sql_marker_score(lang: str) -> str:
+    terms = [
+        f"((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2})::BIGINT"
+        for w in LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(f"({_sql_marker_score(lg)}) AS s_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:  # alphabetical priority = the Spark fold order
+        case += f"WHEN best > 0 AND s_{lg} = best THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {scores}
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents)
+), withbest AS (
+  SELECT doc_id, s_de, s_en, s_es, s_fr, {best} AS best FROM scored
+)
+SELECT doc_id, {case} AS pred_lang FROM withbest
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    from .operators.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).drop("text")
+
+
+def _sql_quality() -> str:
+    stop_terms = " + ".join(
+        f"((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2})::BIGINT"
+        for w in LANG_MARKERS["en"]
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::BIGINT AS n_punct,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, n_tokens,
+         ({stop_terms}) AS n_stop,
+         round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(({stop_terms}) / greatest(n_tokens, 1), 6) AS stop_ratio,
+         round(n_chars / greatest(n_tokens, 1), 6) AS mean_word_len
+  FROM base
+)
+SELECT doc_id, n_chars AS q_chars, n_tokens AS q_tokens,
+       punct_ratio, stop_ratio, mean_word_len,
+       round(((CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+FROM feat
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .operators.textstats import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_fingerprint(docs).select("doc_id", "doc_fp")
+
+
+_SQL_DOC_FP = f"""
+SELECT doc_id,
+       {_SQL_HASH.format(x="regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS doc_fp
+FROM documents
+"""
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over the near-dup fixture, pairs >= 0.6."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    sh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+_SQL_JACCARD = f"""
+WITH corpus AS ({_SQL_DOCS_DUPS}),
+toklists AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 2, 1) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+  FROM toklists
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
+"""
+
+
+def q_doc_minhash(spark, sf_dir):
+    """Portable 8-permutation minhash signature per document."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    sh = docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    h31 = _portable_hash(F.col("shingle")) % H31
+    base = sh.select("doc_id", h31.alias("h"))
+    aggs = []
+    for i in range(8):
+        a, b = _minhash_perm(i)
+        aggs.append(
+            F.min((F.col("h") * a + b) % MERSENNE61).alias(f"m{i}")
+        )
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash() -> str:
+    h = _SQL_HASH.format(x="shingle")
+    mins = ", ".join(
+        f"min((({h} % {H31}) * {_minhash_perm(i)[0]} + {_minhash_perm(i)[1]}) % {MERSENNE61}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH toklists AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 2, 1) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+  FROM toklists
+)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+"""
+
+
+def q_doc_simhash(spark, sf_dir):
+    """16-bit portable SimHash per document (token sign votes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = toks.withColumn("h", _portable_hash(F.col("tok")) % H31)
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    fp = None
+    for i in range(16):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+def _sql_simhash() -> str:
+    h = _SQL_HASH.format(x="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h} % {H31}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+), clean AS (SELECT * FROM toks WHERE length(tok) > 0),
+votes AS (SELECT doc_id, {votes} FROM clean GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash16 FROM votes
+"""
+
+
+# ===========================================================================
+# embeddings: brute-force ANN + per-label centroids
+# ===========================================================================
+
+
+def q_emb_knn(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk(emb, queries, k=5)
+
+
+_SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qvec, cvec) /
+               (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))), 6) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_emb_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 5).alias("centroid_v"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+
+
+_SQL_CENTROIDS = """
+SELECT label, i - 1 AS dim,
+       round(avg(e[i]), 5) AS centroid_v,
+       count(*)::BIGINT AS n_vecs
+FROM (SELECT label, embedding::DOUBLE[] AS e, unnest(range(1, 65)) AS i FROM embeddings)
+GROUP BY label, i
+"""
+
+
+# ===========================================================================
+# KG-engine queries checked against SQL oracles
+# ===========================================================================
+
+
+def q_kg_xref_components(spark, sf_dir):
+    """Connected components over the seed same-as edges (pure CC, no main
+    constraint — the SQL-expressible core), vs a recursive-CTE oracle."""
+    from .kg.xref import connected_components, normalized_edges
+    from .sources import kb
+
+    same_as = spark.createDataFrame(
+        kb.same_as_edges(),
+        schema="id_a string, id_b string, priority_a int, priority_b int, redirect boolean",
+    )
+    return connected_components(normalized_edges(same_as)).select(
+        F.col("id").alias("node"), F.col("component").alias("component")
+    )
+
+
+def _sql_xref_components() -> str:
+    from .kg.xref import normalize_id
+    from .sources import kb
+
+    pairs = set()
+    for e in kb.same_as_edges():
+        a, b = normalize_id(e["id_a"]), normalize_id(e["id_b"])
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    values = ", ".join(f"('{a}', '{b}')" for a, b in sorted(pairs))
+    return f"""
+WITH RECURSIVE edges(a, b) AS (VALUES {values}),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT node, min(comp) AS component FROM reach GROUP BY node
+"""
+
+
+def q_kg_alias_term_counts(spark, sf_dir):
+    """Dictionary term counting: total occurrences of each single-word KB
+    alias across documents.text (the phrase-lookup primitive as a pure
+    column-expression plan: broadcast dictionary × corpus scan)."""
+    from .sources import kb
+
+    aliases = sorted(
+        {
+            r["alias"].lower()
+            for r in kb.alias_rows()
+            if " " not in r["alias"] and r["alias"].isalpha()
+        }
+    )
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    alias_df = spark.createDataFrame([(a,) for a in aliases], "alias string")
+    exploded = docs.select(padded.alias("padded")).crossJoin(F.broadcast(alias_df))
+    needle = F.concat(F.lit(" "), F.col("alias"), F.lit(" "))
+    occ = (
+        (F.length("padded") - F.length(F.replace(F.col("padded"), needle)))
+        / (F.length("alias") + 2)
+    ).cast("long")
+    return (
+        exploded.select("alias", occ.alias("occ"))
+        .groupBy("alias")
+        .agg(F.sum("occ").cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def _sql_alias_term_counts() -> str:
+    from .sources import kb
+
+    aliases = sorted(
+        {
+            r["alias"].lower()
+            for r in kb.alias_rows()
+            if " " not in r["alias"] and r["alias"].isalpha()
+        }
+    )
+    values = ", ".join(f"('{a}')" for a in aliases)
+    return f"""
+WITH al(alias) AS (VALUES {values}),
+docs AS (SELECT ' ' || lower(text) || ' ' AS padded FROM documents)
+SELECT alias,
+       sum((length(padded) - length(replace(padded, ' ' || alias || ' ', '')))
+           / (length(alias) + 2))::BIGINT AS n_occurrences
+FROM docs CROSS JOIN al
+GROUP BY alias HAVING sum((length(padded) - length(replace(padded, ' ' || alias || ' ', '')))
+           / (length(alias) + 2)) > 0
+"""
+
+
+# ===========================================================================
+# KG pipeline smoke queries (non-SQL-expressible → rows-only checks)
+# ===========================================================================
+
+
+def q_kg_triples(spark, sf_dir):
+    from .kg.pipeline import run_pipeline
+
+    return run_pipeline(spark, n_files=40)["triples"].select(
+        "subj", "pred", "obj", "source"
+    )
+
+
+def q_kg_mentions(spark, sf_dir):
+    from .kg.pipeline import run_pipeline
+
+    return run_pipeline(spark, n_files=40)["mentions"].select(
+        "repo", "path", "begin", "end", "entity", F.round("score", 6).alias("score")
+    )
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+
+def queries():
+    return {
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_region_revenue": q_tpch_q5,
+        "topk_parts_per_brand": q_topk_parts_per_brand,
+        "customer_order_stats": q_customer_order_stats,
+        "orders_semi_join": q_orders_semi_join,
+        "parts_anti_join": q_parts_anti_join,
+        "order_status_pivot": q_order_status_pivot,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling_5min": q_events_tumbling,
+        "events_json_extract": q_events_json,
+        "events_topk_users": q_events_topk_users,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality_score": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash": q_doc_minhash,
+        "doc_simhash": q_doc_simhash,
+        "emb_knn_bruteforce": q_emb_knn,
+        "emb_label_centroids": q_emb_centroids,
+        "kg_xref_components": q_kg_xref_components,
+        "kg_alias_term_counts": q_kg_alias_term_counts,
+        "kg_triples": q_kg_triples,
+        "kg_mentions": q_kg_mentions,
+    }
+
+
+def oracle_sql():
+    return {
+        "tpch_q1_pricing_summary": _SQL_Q1,
+        "tpch_q3_shipping_priority": _SQL_Q3,
+        "tpch_q5_region_revenue": _SQL_Q5,
+        "topk_parts_per_brand": _SQL_TOPK_PARTS,
+        "customer_order_stats": _SQL_CUST_STATS,
+        "orders_semi_join": _SQL_SEMI,
+        "parts_anti_join": _SQL_ANTI,
+        "order_status_pivot": _SQL_PIVOT,
+        "events_sessionize": _SQL_SESSIONIZE,
+        "events_tumbling_5min": _SQL_TUMBLING,
+        "events_json_extract": _SQL_JSON,
+        "events_topk_users": _SQL_TOPK_USERS,
+        "doc_exact_dedup": _SQL_EXACT_DEDUP,
+        "doc_token_count": _SQL_TOKEN_COUNT,
+        "doc_lang_id": _sql_lang_id(),
+        "doc_quality_score": _sql_quality(),
+        "doc_fingerprint": _SQL_DOC_FP,
+        "doc_ngram_jaccard": _SQL_JACCARD,
+        "doc_minhash": _sql_minhash(),
+        "doc_simhash": _sql_simhash(),
+        "emb_knn_bruteforce": _SQL_KNN,
+        "emb_label_centroids": _SQL_CENTROIDS,
+        "kg_xref_components": _sql_xref_components(),
+        "kg_alias_term_counts": _sql_alias_term_counts(),
+        # kg_triples / kg_mentions: order-dependent annotator semantics,
+        # not ANSI-SQL-expressible → rows-only driver check; correctness
+        # is covered by tests/test_pipeline_e2e.py against the oracle.
+    }

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k**: the exact baseline. The query set is
+  broadcast (it is small by construction); the corpus side streams
+  through a single narrow pass — no shuffle except the final per-query
+  top-k aggregation. Dot products are computed JVM-side with
+  ``aggregate``/``zip_with`` (whole-stage codegen), NOT in Python.
+- **LSH-bucketed (random hyperplane / SRP)**: the scale path — sign
+  sketches via fixed pseudo-random hyperplanes derived from xxhash64 of
+  (dim, plane) pairs, bucket join, exact re-rank within buckets.
+  At 100 TB the bucket join replaces the O(N*Q) scan.
+- **IVF-style coarse quantization**: k-means-lite via deterministic
+  seeded centroid init + a few Lloyd iterations in DataFrames; probe the
+  nearest cells only. (Provided as ``ivf_assign`` building block.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Plan: broadcast(queries) × corpus cross join → columnar cosine →
+    per-query top-k via window on the (small) candidate set. Scores are
+    rounded so results are engine-portable (oracle comparability)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_sketch(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    out_col: str = "srp_bucket",
+) -> DataFrame:
+    """Signed-random-projection bucket id. Hyperplane p's weight for
+    dimension d is a deterministic pseudo-random ±1/±3 value derived from
+    xxhash64(d, p) — no stored model, identical on every executor."""
+    dims = F.size(F.col(vec_col))
+    bit_exprs = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda d: (
+                        (F.xxhash64(d.cast("string"), F.lit(f"plane{p}")) % 7) - 3
+                    ).cast("double"),
+                ),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bit_exprs.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        bucket = bucket + e
+    return df.withColumn(out_col, bucket.cast("long"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket equi-join + exact re-rank within
+    buckets. Recall < 1 by construction; the bucket join is the scale
+    path (shuffle by bucket id, not all-pairs)."""
+    c = srp_sketch(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+        planes,
+    )
+    q = srp_sketch(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+        planes,
+    )
+    scored = (
+        c.join(F.broadcast(q), on="srp_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse cell).
+    Centroids ride as a literal array-of-arrays column — JVM-side argmin,
+    no UDF."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in centroids
+    ])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return df.withColumn(
+        out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )

@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Every operator is pure JVM column expressions (length/replace/regexp/
+split arithmetic) so the hot path is whole-stage codegen — and every
+formula is reproducible in ANSI SQL, which is exactly how the driver's
+DuckDB oracle validates them. Doubles are rounded to 6 places for
+engine-portable comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets: language ID scores a document
+# by counting occurrences of each language's marker words (padded with
+# spaces — the portable "contains word" idiom). Deterministic n-gram
+# heuristic in the spirit of fastText-lite; NOT a trained model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "es", "una", "que"],
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """#occurrences of ``needle`` in ``text`` via the length/replace
+    trick (portable to any SQL engine)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, null/empty-safe, JVM-side."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0).cast("long")).otherwise(
+        F.size(F.split(trimmed, r"\s+")).cast("long")
+    )
+
+
+def word_marker_score(text: Column, lang: str) -> Column:
+    """Marker-word hits for one language over a lowercased, space-padded
+    copy of the text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0).cast("long")
+    for w in LANG_MARKERS[lang]:
+        score = score + _count_occurrences(padded, f" {w} ")
+    return score
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Predicted language = argmax marker score; ties break by language
+    code order; zero evidence → 'und'."""
+    text = F.col(text_col)
+    scores = {lang: word_marker_score(text, lang) for lang in sorted(LANG_MARKERS)}
+    best_score = None
+    for s in scores.values():
+        best_score = s if best_score is None else F.greatest(best_score, s)
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    features + a composite quality score in [0,1].
+
+    The score is a deterministic arithmetic blend (each feature clamped
+    to a target band) — the shape of C4/Gopher-style quality rules,
+    expressible identically in Spark and ANSI SQL."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    n_tokens = token_count(text)
+    n_punct = (
+        n_chars
+        - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    ).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_stop = F.lit(0).cast("long")
+    for w in LANG_MARKERS["en"]:
+        n_stop = n_stop + _count_occurrences(padded, f" {w} ")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / safe_tokens, 6)
+    mean_word_len = F.round(n_chars / safe_tokens, 6)
+    # banded sub-scores
+    len_score = F.when((n_tokens >= 20) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    stop_score = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.0)
+    word_len_score = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 12.0), 1.0
+    ).otherwise(0.0)
+    punct_score = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    quality = F.round(
+        (len_score + stop_score + word_len_score + punct_score) / 4.0, 6
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_fp") -> DataFrame:
+    """64-bit portable content fingerprint: first 15 hex digits of
+    md5(normalized text) as a BIGINT. Portable: DuckDB computes the
+    identical value via ('0x'||substr(md5(x),1,15))::BIGINT."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    return df.withColumn(out_col, fp)
+
+
+def ngram_profile(df: DataFrame, text_col: str = "text", n: int = 3, top: int = 5) -> DataFrame:
+    """Top character n-grams per document (rolling window over the
+    lowercased text) — the building block for n-gram language models and
+    near-dup shingling. JVM-side: sequence + transform + explode."""
+    lowered = F.lower(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: lowered.substr(i, F.lit(n)))
+    return df.select(
+        "*", F.explode(F.array_distinct(grams)).alias(f"gram{n}")
+    )
