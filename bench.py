@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus engine throughput extras}.
+
+The KG pipeline is benchmarked on the deterministic synthetic corpus
+scaled to the sf (sf0.1 → 20,000 files ≈ 50 MB source text), reporting
+triples/sec — the north-rule throughput number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "topk_parts_per_brand",
+    "events_sessionize",
+    "events_tumbling_5min",
+    "doc_ngram_jaccard",
+    "doc_minhash",
+    "doc_simhash",
+    "emb_knn_bruteforce",
+    "kg_alias_term_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from sling_spark import contract
+    from sling_spark.kg.pipeline import run_pipeline
+    from sling_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="sling_spark_bench",
+        shuffle_partitions=2 * cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = contract.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # KG pipeline throughput: n_files scales with sf (bench tier =
+    # 200k files at sf0.1 per FIXTURES.md; sf0.01 → 20k, etc.)
+    n_files = max(200, int(2_000_000 * sf))
+    t0 = time.time()
+    res = run_pipeline(spark, n_files=n_files, partitions=4 * cpus)
+    n_triples = res["triples"].count()
+    kg_sec = round(time.time() - t0, 3)
+    times["kg_pipeline"] = kg_sec
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "kg_files": n_files,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _epoch(col) -> "F.Column":
+    """Epoch seconds from a (possibly NTZ) timestamp column. Session TZ
+    is UTC, so NTZ→LTZ reinterpretation matches DuckDB's naive-UTC
+    epoch()."""
+    return col.cast("timestamp_ltz").cast("long")
+
+
 def _portable_hash(col):
     """63-bit hash of a string, identical in Spark and DuckDB:
     int(md5[:15 hex], 16)."""
@@ -114,7 +121,7 @@ def q_tpch_q3(spark, sf_dir):
         )
         .select(
             "l_orderkey",
-            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            _epoch(F.col("o_orderdate")).alias("orderdate_epoch"),
             "revenue",
         )
     )
@@ -271,8 +278,12 @@ GROUP BY o_orderpriority
 
 
 def q_parts_anti_join(spark, sf_dir):
+    """Parts with no shipment since 2001 (anti join, filter pushed below
+    the join's build side)."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return (
         part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
         .groupBy("p_brand")
@@ -287,7 +298,9 @@ _SQL_ANTI = """
 SELECT p_brand, count(*)::BIGINT AS n_unsold,
        round(sum(p_retailprice), 6) AS unsold_value
 FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2001-01-01')
 GROUP BY p_brand
 """
 
@@ -321,7 +334,7 @@ FROM orders GROUP BY o_orderpriority
 
 def q_events_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", F.col("ts").cast("long").alias("epoch")
+        "user_id", "event_id", "value", _epoch(F.col("ts")).alias("epoch")
     )
     w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
     gapped = ev.withColumn(
@@ -348,7 +361,7 @@ def q_events_sessionize(spark, sf_dir):
 
 _SQL_SESSIONIZE = """
 WITH ev AS (
-  SELECT user_id, event_id, value, epoch(ts)::BIGINT AS epoch FROM events
+  SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS epoch FROM events
 ), gapped AS (
   SELECT *, CASE WHEN lag(epoch) OVER w IS NULL
                    OR epoch - lag(epoch) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
@@ -367,7 +380,7 @@ FROM sess GROUP BY user_id, session_id
 
 def q_events_tumbling(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    win = (F.floor(F.col("ts").cast("long") / 300) * 300).cast("long")
+    win = (F.floor(_epoch(F.col("ts")) / 300) * 300).cast("long")
     return (
         ev.withColumn("window_start", win)
         .groupBy("window_start", "event_type")
@@ -379,7 +392,7 @@ def q_events_tumbling(spark, sf_dir):
 
 
 _SQL_TUMBLING = """
-SELECT (floor(epoch(ts)::BIGINT / 300) * 300)::BIGINT AS window_start,
+SELECT (floor(floor(epoch(ts))::BIGINT / 300) * 300)::BIGINT AS window_start,
        event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
@@ -568,9 +581,10 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(docs).select("doc_id", "doc_fp")
 
 
+_NORM_TEXT = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 _SQL_DOC_FP = f"""
 SELECT doc_id,
-       {_SQL_HASH.format(x="regexp_replace(lower(text), '\\s+', ' ', 'g')")} AS doc_fp
+       {_SQL_HASH.format(x=_NORM_TEXT)} AS doc_fp
 FROM documents
 """
 
