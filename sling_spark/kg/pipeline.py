@@ -62,6 +62,10 @@ def run_pipeline(
     documents = _materialize(
         build_documents(corpus), spark, checkpoint_dir, "documents"
     )
+    if checkpoint_dir is None:
+        # documents feeds the IDF build (an action) AND mention detection;
+        # without a parquet checkpoint, cache to avoid re-tokenizing.
+        documents = documents.persist()
 
     assets_bc, phrase_table = build_assets(spark, documents, seed)
 

@@ -61,9 +61,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) — min over affine permutations of
     xxhash64(shingle). One explode + one groupBy(doc) with min-aggs."""
-    base = sh.withColumn("h", F.abs(F.xxhash64("shingle")) % _MERSENNE)
+    # pre-shrink to 31 bits so a_i*h stays inside int64 under ANSI mode
+    base = sh.withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
+    )
     aggs = [
-        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9)) % _MERSENNE).alias(f"m{i}")
+        F.min(
+            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9)) % _MERSENNE
+        ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     sig = base.groupBy("doc_id").agg(*aggs)

@@ -74,17 +74,12 @@ def brute_force_topk(
     )
 
 
-def srp_sketch(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    planes: int = 16,
-    out_col: str = "srp_bucket",
-) -> DataFrame:
-    """Signed-random-projection bucket id. Hyperplane p's weight for
-    dimension d is a deterministic pseudo-random ±1/±3 value derived from
-    xxhash64(d, p) — no stored model, identical on every executor."""
+def _srp_bucket(vec_col: str, table: int, planes: int):
+    """Bucket id for one SRP hash table: ``planes`` sign bits, hyperplane
+    weights derived deterministically from xxhash64(dim, table, plane) —
+    no stored model, identical on every executor."""
     dims = F.size(F.col(vec_col))
-    bit_exprs = []
+    bucket = F.lit(0)
     for p in range(planes):
         proj = F.aggregate(
             F.zip_with(
@@ -92,7 +87,7 @@ def srp_sketch(
                 F.transform(
                     F.sequence(F.lit(0), dims - 1),
                     lambda d: (
-                        (F.xxhash64(d.cast("string"), F.lit(f"plane{p}")) % 7) - 3
+                        (F.xxhash64(d.cast("string"), F.lit(f"t{table}p{p}")) % 7) - 3
                     ).cast("double"),
                 ),
                 lambda x, wgt: x * wgt,
@@ -100,11 +95,23 @@ def srp_sketch(
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        bit_exprs.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        bucket = bucket + e
-    return df.withColumn(out_col, bucket.cast("long"))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def srp_sketch(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 8,
+    out_col: str = "srp_buckets",
+) -> DataFrame:
+    """Multi-table SRP sketch: array of ``tables`` bucket ids. Multiple
+    independent tables trade bucket-join fan-out for recall (standard
+    OR-amplification)."""
+    return df.withColumn(
+        out_col, F.array(*[_srp_bucket(vec_col, t, planes) for t in range(tables)])
+    )
 
 
 def lsh_topk(
@@ -113,30 +120,36 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 12,
+    planes: int = 6,
+    tables: int = 8,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: SRP bucket equi-join + exact re-rank within
-    buckets. Recall < 1 by construction; the bucket join is the scale
-    path (shuffle by bucket id, not all-pairs)."""
+    """Approximate top-k: candidates = union over hash tables of bucket
+    collisions, then exact cosine re-rank. The shuffle key is
+    (table, bucket) — near neighbors collide, the rest spread. This is
+    the 100 TB path replacing the O(N·Q) brute-force scan."""
     c = srp_sketch(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        "cvec",
-        planes,
+        "cvec", planes, tables,
+    ).select(
+        "neighbor_id", "cvec", F.posexplode("srp_buckets").alias("table", "bucket")
     )
     q = srp_sketch(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        "qvec",
-        planes,
+        "qvec", planes, tables,
+    ).select(
+        "query_id", "qvec", F.posexplode("srp_buckets").alias("table", "bucket")
     )
-    scored = (
-        c.join(F.broadcast(q), on="srp_bucket")
+    cand = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"),
-        )
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

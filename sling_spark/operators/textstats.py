@@ -54,18 +54,33 @@ def word_marker_score(text: Column, lang: str) -> Column:
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Predicted language = argmax marker score; ties break by language
-    code order; zero evidence → 'und'."""
-    text = F.col(text_col)
-    scores = {lang: word_marker_score(text, lang) for lang in sorted(LANG_MARKERS)}
-    best_score = None
-    for s in scores.values():
-        best_score = s if best_score is None else F.greatest(best_score, s)
+    code order; zero evidence → 'und'.
+
+    Built as staged projections (padded → per-lang scores → best → pred)
+    so each codegen stage stays small — one flat expression tree here
+    multiplies the padded-text subtree 20x and stalls Catalyst."""
+    langs = sorted(LANG_MARKERS)
+    padded = df.withColumn(
+        "__padded", F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    )
+    scored = padded
+    for lang in langs:
+        s = F.lit(0).cast("long")
+        for w in LANG_MARKERS[lang]:
+            s = s + _count_occurrences(F.col("__padded"), f" {w} ")
+        scored = scored.withColumn(f"__s_{lang}", s)
+    scored = scored.withColumn(
+        "__best", F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    )
     pred = F.lit("und")
-    for lang in sorted(LANG_MARKERS, reverse=True):
+    for lang in sorted(langs, reverse=True):
         pred = F.when(
-            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+            (F.col(f"__s_{lang}") == F.col("__best")) & (F.col("__best") > 0),
+            F.lit(lang),
         ).otherwise(pred)
-    return df.withColumn(out_col, pred)
+    return scored.withColumn(out_col, pred).drop(
+        "__padded", "__best", *[f"__s_{lang}" for lang in langs]
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

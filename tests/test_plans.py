@@ -1,0 +1,89 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, partial agg.
+
+These lock in the scale properties the engine is designed around — a
+regression here is a 100-TB performance bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sling_spark import contract
+from sling_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_pruned_schema,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    df = contract.q_tpch_q1(spark, SF)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_partial_aggregation(df)
+    # Q1 projects 7 of 11 lineitem columns — pruning must hold
+    assert_pruned_schema(df, "lineitem", 7)
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    df = contract.q_tpch_q5(spark, SF)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q3_filter_pushdown(spark):
+    df = contract.q_tpch_q3(spark, SF)
+    assert_pushed_filters(df, "c_mktsegment")
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_doc_scan_pruning(spark):
+    df = contract.q_doc_token_count(spark, SF)
+    # only doc_id + text should be read from the documents table
+    assert_pruned_schema(df, "documents", 2)
+
+
+def test_mentions_stage_is_narrow(spark):
+    """Mention detection adds NO shuffle on the corpus side: the plan
+    between the documents scan and the mentions output must be
+    exchange-free (broadcast assets, mapInPandas)."""
+    from sling_spark.kg.assets import build_assets, seed_dataframes
+    from sling_spark.kg.documents import build_documents
+    from sling_spark.kg.mentions import detect_mentions
+    from sling_spark.sources.corpus import corpus_df
+
+    seed = seed_dataframes(spark)
+    docs = build_documents(corpus_df(spark, 30, partitions=2)).persist()
+    docs.count()
+    assets_bc, _ = build_assets(spark, docs, seed)
+    mentions = detect_mentions(docs, assets_bc)
+    plan = formatted_plan(mentions)
+    # the persisted documents relation contains its own (expected)
+    # shuffle; everything ABOVE the cache boundary must be exchange-free
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in above_cache, plan
+
+
+def test_relations_uses_broadcast_facts(spark):
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.relations import extract_relations, facts_df
+
+    seed = seed_dataframes(spark)
+    mentions = spark.createDataFrame(
+        [("r", "p", "c", "s", 0, 0, 1, "x", 1, "Q1", 1.0, 1)],
+        "repo string, path string, commit string, content_sha string, "
+        "sentence int, begin int, end int, phrase string, fp long, "
+        "entity string, score double, form int",
+    )
+    rel = extract_relations(mentions, facts_df(spark, seed["items"]))
+    assert_broadcast_join(rel)
+
+
+def test_exact_dedup_partial_agg(spark):
+    df = contract.q_doc_exact_dedup(spark, SF)
+    assert_partial_aggregation(df)

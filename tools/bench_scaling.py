@@ -1,0 +1,84 @@
+"""Scaling-efficiency benchmark (north rule: efficiency >= 0.8 from N to
+4N parallelism).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same KG pipeline job runs at two parallelism levels — local[8] and
+local[32] — on the SAME synthetic input, and we report throughput at both
+plus scaling efficiency = (T_8 / T_32) / 4.
+
+Writes BENCH/scaling.json and prints one JSON line.
+
+Usage: python tools/bench_scaling.py [n_files] [low_cores] [high_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_once(cores: int, n_files: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from sling_spark.kg.pipeline import run_pipeline
+    from sling_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(2)
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app_name=f"sling_scaling_{cores}",
+        shuffle_partitions=2 * cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    res = run_pipeline(spark, n_files=n_files, partitions=4 * cores)
+    n_triples = res["triples"].count()
+    wall = time.time() - t0
+    n_docs = res["documents"].count()
+    spark.stop()
+    time.sleep(2)
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 2),
+        "n_files": n_files,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 2),
+        "docs_per_sec": round(n_docs / wall, 2),
+    }
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    lo = run_once(low, n_files)
+    hi = run_once(high, n_files)
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    efficiency = speedup / (high / low)
+    out = {
+        "metric": "kg_pipeline_scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "ratio": high / low,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
