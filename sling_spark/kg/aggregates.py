@@ -1,0 +1,114 @@
+"""KB-side aggregations (SURVEY.md §2.4 / §2.6 inventory).
+
+| reference (sling/)                              | here              |
+|--------------------------------------------------|-------------------|
+| nlp/kb/fanin.cc:35-104 (item-fanin)              | item_fanin        |
+| nlp/wiki/wikipedia-links.cc:162-220 (link merge, | merge_links,      |
+|   item-popularity)                               | item_popularity   |
+| nlp/document/vocabulary-builder.cc:86,230        | word_vocabulary   |
+| nlp/silver/idf.cc:39-226                         | documents.idf_table |
+| nlp/kb/property-usage.cc:155                     | property_usage    |
+| nlp/search/search-index-builder.cc:292,493       | inverted_index    |
+| nlp/wiki/wikipedia-documents.cc:513-617          | invert_membership |
+|   (category-inverter/member-merger)              |                   |
+| nlp/wiki/wikipedia-documents.cc:720              | best_per_group    |
+|   (summary-selector)                             |                   |
+
+All are single-shuffle hash aggregations with map-side partial combine —
+the exact shape SLING's Accumulator (task/accumulator.cc:23-60) emulates
+by hand and Spark provides natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def item_fanin(items: DataFrame, skip_properties: set[str] | None = None) -> DataFrame:
+    """Incoming fact references per item: explode every statement object
+    (and qualifier values) and count per target (fanin.cc:35-104)."""
+    skip = list(skip_properties or [])
+    st = items.select(F.explode("statements").alias("st"))
+    if skip:
+        st = st.filter(~F.col("st.pid").isin(skip))
+    objs = st.select(F.col("st.object").alias("target"))
+    quals = st.select(F.explode(F.col("st.qualifiers")).alias("k", "v")).select(
+        F.col("v").alias("target")
+    )
+    refs = objs.unionByName(quals).filter(F.col("target").rlike("^Q"))
+    return refs.groupBy("target").agg(F.count("*").cast("long").alias("fanin"))
+
+
+def merge_links(links: DataFrame) -> DataFrame:
+    """Merge per-source link counts: (src, dst) → Σcount
+    (wikipedia-link-merger, links.cc:162-205)."""
+    return links.groupBy("src", "dst").agg(F.sum("count").cast("long").alias("count"))
+
+
+def item_popularity(links: DataFrame) -> DataFrame:
+    """Popularity = Σ incoming link counts per target
+    (item-popularity-reducer, links.cc:208-220)."""
+    return links.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("count").cast("long").alias("popularity")
+    )
+
+
+def word_vocabulary(documents: DataFrame, min_count: int = 1) -> DataFrame:
+    """Word → occurrence count over the tokenized documents table
+    (vocabulary-builder semantics: normalized words, skip punctuation)."""
+    toks = documents.select(F.explode("tokens").alias("t")).select(
+        F.lower(F.col("t.word")).alias("word"), F.col("t.fp").alias("fp")
+    )
+    return (
+        toks.filter(F.col("fp") > 1)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+
+
+def property_usage(items: DataFrame) -> DataFrame:
+    """Per property: usage count by subject type
+    (property-usage.cc:155)."""
+    return (
+        items.select(F.explode("types").alias("type"), F.col("statements"))
+        .select("type", F.explode("statements").alias("st"))
+        .groupBy(F.col("st.pid").alias("pid"), "type")
+        .agg(F.count("*").cast("long").alias("n_uses"))
+    )
+
+
+def inverted_index(mentions: DataFrame) -> DataFrame:
+    """Entity → sorted posting list of documents mentioning it
+    (search-index-builder shape: term → postings)."""
+    return (
+        mentions.select(
+            "entity",
+            F.concat_ws("/", "repo", "path").alias("doc"),
+        )
+        .distinct()
+        .groupBy("entity")
+        .agg(F.array_sort(F.collect_set("doc")).alias("postings"))
+    )
+
+
+def invert_membership(df: DataFrame, member_col: str, groups_col: str) -> DataFrame:
+    """Invert a membership array column: (member, [groups]) →
+    (group, sorted members) (category-inverter/member-merger shape)."""
+    return (
+        df.select(F.col(member_col).alias("member"), F.explode(groups_col).alias("grp"))
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_set("member")).alias("members"))
+    )
+
+
+def best_per_group(df: DataFrame, group_cols: list[str], order_cols: list) -> DataFrame:
+    """Pick the best row per group by a deterministic order
+    (summary-selector shape: row_number() = 1)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

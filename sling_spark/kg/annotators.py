@@ -1,0 +1,92 @@
+"""Annotator-chain utilities (SURVEY.md §2.7 remainder + §2.11).
+
+The reference runs a per-document annotator chain registered by name
+(REGISTER_ANNOTATOR, sling/nlp/document/annotator.h; chain order
+python/nlp/silver.py:105-169). Our chain is a list of DataFrame stage
+functions; this module holds the small annotators not covered by the
+dedicated stage modules:
+
+| reference (sling/)                    | here                 |
+|----------------------------------------|----------------------|
+| nlp/silver/types.cc:28-67 (types)      | annotate_types       |
+| nlp/silver/types.cc:104 (clear-refs)   | clear_references     |
+| nlp/silver/nominal-pruning.cc:74       | prune_low_score      |
+| nlp/parser/parser-annotator.cc:62      | mention_names        |
+| wikidata-importer.cc:482 (pruner)      | prune_statements     |
+| wikidata-importer.cc:251 (splitter)    | split_by_kind        |
+| REGISTER_ANNOTATOR registry            | ANNOTATORS + register|
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ANNOTATORS: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        ANNOTATORS[name] = fn
+        return fn
+
+    return deco
+
+
+@register("types")
+def annotate_types(mentions: DataFrame, items: DataFrame) -> DataFrame:
+    """Copy the KB item's types onto each resolved mention (isa
+    annotation) — broadcast join against the dimension table."""
+    dim = items.select(F.col("id").alias("entity"), F.col("types").alias("types"))
+    return mentions.join(F.broadcast(dim), on="entity", how="left").withColumn(
+        "types", F.coalesce("types", F.array().cast("array<string>"))
+    )
+
+
+@register("clear-references")
+def clear_references(mentions: DataFrame) -> DataFrame:
+    """Keep only local annotation columns (projection — clearing external
+    store references is a no-op in a columnar world)."""
+    keep = [c for c in mentions.columns if not c.startswith("__")]
+    return mentions.select(*keep)
+
+
+@register("prune-low-score")
+def prune_low_score(mentions: DataFrame, min_score: float = 0.0) -> DataFrame:
+    """Drop weakly-resolved mentions (nominal-pruning analog)."""
+    return mentions.filter(F.col("score") > min_score)
+
+
+@register("mention-names")
+def mention_names(mentions: DataFrame, items: DataFrame) -> DataFrame:
+    """Attach the canonical entity name to each mention."""
+    dim = items.select(F.col("id").alias("entity"), F.col("name").alias("entity_name"))
+    return mentions.join(F.broadcast(dim), on="entity", how="left")
+
+
+def prune_statements(items: DataFrame, drop_pids: set[str]) -> DataFrame:
+    """KB slimming: drop statements with the given properties
+    (wikidata-pruner) — JVM-side array filter, no explode."""
+    pids = F.array(*[F.lit(p) for p in sorted(drop_pids)])
+    return items.withColumn(
+        "statements",
+        F.filter("statements", lambda st: ~F.array_contains(pids, st["pid"])),
+    )
+
+
+def split_by_kind(df: DataFrame, kind_col: str, kinds: list[str]) -> dict[str, DataFrame]:
+    """Route one stream into per-kind outputs (wikidata-splitter): one
+    filter per output — a single scan serves all when cached."""
+    return {k: df.filter(F.col(kind_col) == k) for k in kinds}
+
+
+def run_chain(df: DataFrame, chain: list[tuple[str, dict]], **tables) -> DataFrame:
+    """Execute a named annotator chain (the silver.py:105-169 analog):
+    chain = [("types", {"items": items_df}), ("prune-low-score", {})]."""
+    out = df
+    for name, kwargs in chain:
+        fn = ANNOTATORS[name]
+        out = fn(out, **kwargs)
+    return out

@@ -1,0 +1,150 @@
+"""Tests for the wider operator inventory: workflow facade, partition
+ops, KB aggregations, annotators, biaffine scorer, dates."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sling_spark.functions.dates import (
+    P_DAY,
+    P_MONTH,
+    P_YEAR,
+    more_precise,
+    parse_date,
+)
+
+
+def test_parse_date_and_precision():
+    assert parse_date("1958").precision == P_YEAR
+    assert parse_date("1958-03").precision == P_MONTH
+    assert parse_date("1958-03-14").precision == P_DAY
+    assert parse_date("-0500").year == -500
+    assert parse_date("1958-13") is None
+    assert parse_date("banana") is None
+    assert more_precise("1958", "1958-03-14") == "1958-03-14"
+    assert more_precise("1958-03", "1958") == "1958-03"
+    assert more_precise("1958", "1959-01") == "1958"  # incompatible
+
+
+def test_partition_ops(spark):
+    from sling_spark.operators.partition import (
+        corpus_split,
+        discard,
+        keep_only,
+        skew_report,
+    )
+
+    df = spark.createDataFrame([(i, f"k{i % 3}") for i in range(30)], "id long, key string")
+    bl = spark.createDataFrame([("k0",)], "key string")
+    assert discard(df, bl, "key").count() == 20
+    assert keep_only(df, bl, "key").count() == 10
+    split = corpus_split(df, "id", ratio=3)
+    counts = dict(split.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "eval"} and sum(counts.values()) == 30
+    top = skew_report(df, "key", top=1).collect()[0]
+    assert top["n_rows"] == 10 and abs(top["share"] - 10 / 30) < 1e-6
+
+
+def test_workflow_facade(spark, tmp_path):
+    from sling_spark import workflow as wf
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], "k long, v string")
+    out = str(tmp_path / "wf_out")
+    wf.write(wf.filter_rows(df, F.col("k") > 0), out, shards=2)
+    back = wf.read(spark, out)
+    assert back.count() == 3
+
+    def reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": int(pdf["k"].iloc[0]), "vs": "".join(sorted(pdf["v"]))}])
+
+    red = wf.reduce_groups(back, "k", reducer, "k long, vs string")
+    got = {r["k"]: r["vs"] for r in red.collect()}
+    assert got == {1: "a", 2: "bc"}
+    merged = wf.collect(df, df)
+    assert merged.count() == 6
+
+
+def test_kb_aggregates(spark):
+    from sling_spark.kg.aggregates import (
+        best_per_group,
+        invert_membership,
+        item_fanin,
+        item_popularity,
+        merge_links,
+        property_usage,
+    )
+    from sling_spark.kg.assets import seed_dataframes
+
+    seed = seed_dataframes(spark)
+    fanin = {r["target"]: r["fanin"] for r in item_fanin(seed["items"]).collect()}
+    assert fanin["Q60"] > 5  # Apache license is referenced a lot
+    links = merge_links(seed["links"])
+    pop = {r["id"]: r["popularity"] for r in item_popularity(links).collect()}
+    assert pop["Q60"] > 0
+    usage = {(r["pid"], r["type"]): r["n_uses"] for r in property_usage(seed["items"]).collect()}
+    assert usage[("P2", "library")] > 0
+
+    mem = spark.createDataFrame(
+        [("a", ["g1", "g2"]), ("b", ["g1"])], "m string, gs array<string>"
+    )
+    inv = {r["grp"]: r["members"] for r in invert_membership(mem, "m", "gs").collect()}
+    assert inv == {"g1": ["a", "b"], "g2": ["a"]}
+
+    best = best_per_group(
+        spark.createDataFrame([(1, 5.0), (1, 9.0), (2, 1.0)], "g long, s double"),
+        ["g"],
+        [F.desc("s")],
+    )
+    assert {(r["g"], r["s"]) for r in best.collect()} == {(1, 9.0), (2, 1.0)}
+
+
+def test_annotator_chain(spark):
+    from sling_spark.kg.annotators import prune_statements, run_chain, split_by_kind
+    from sling_spark.kg.assets import seed_dataframes
+
+    seed = seed_dataframes(spark)
+    mentions = spark.createDataFrame(
+        [("Q1", 5.0), ("Q3", 0.0)], "entity string, score double"
+    )
+    out = run_chain(
+        mentions,
+        [
+            ("types", {"items": seed["items"]}),
+            ("mention-names", {"items": seed["items"]}),
+            ("prune-low-score", {}),
+        ],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["entity_name"] == "Apache Spark"
+    assert rows[0]["types"] == ["framework"]
+
+    pruned = prune_statements(seed["items"], {"P4"})
+    assert (
+        pruned.select(F.explode("statements").alias("st"))
+        .filter(F.col("st.pid") == "P4")
+        .count()
+        == 0
+    )
+    parts = split_by_kind(mentions, "entity", ["Q1", "Q3"])
+    assert parts["Q1"].count() == 1
+
+
+def test_biaffine_batched_scoring(spark):
+    import numpy as np
+
+    from sling_spark.kg.biaffine import BiaffineScorer, score_spans
+    from sling_spark.kg.documents import build_documents
+    from sling_spark.sources.corpus import corpus_df
+
+    scorer = BiaffineScorer()
+    fps = np.array([11, 22, 33, 44, 55], dtype=np.uint64)
+    a = scorer.score_sentence(fps)
+    b = scorer.score_sentence(fps)
+    assert a == b and len(a) > 0  # deterministic
+    # spark path produces rows with sane spans
+    docs = build_documents(corpus_df(spark, 6, partitions=2))
+    spans = score_spans(docs, scorer, threshold=3.0)
+    rows = spans.collect()
+    assert all(r["end"] > r["begin"] for r in rows)
