@@ -452,7 +452,9 @@ SELECT user_id, total_value, n_events, rank FROM (
 def _docs_with_dups(spark, sf_dir):
     """documents ∪ mutated copies of doc_id<25 (id+100000, one appended
     token) — the deterministic near-dup fixture both engines build."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 500  # bounded fixture: identical at sf<=0.01,
+    )                          # capped at larger scale factors
     dups = docs.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" duplicated sentinel")).alias("text"),
@@ -464,7 +466,7 @@ def _docs_with_dups(spark, sf_dir):
 
 
 _SQL_DOCS_DUPS = """
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text || ' duplicated sentinel' AS text
   FROM documents WHERE doc_id < 25
@@ -832,19 +834,30 @@ def q_kg_alias_term_counts(spark, sf_dir):
     )
     docs = _t(spark, sf_dir, "documents")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    alias_df = spark.createDataFrame([(a,) for a in aliases], "alias string")
-    exploded = docs.select(padded.alias("padded")).crossJoin(F.broadcast(alias_df))
-    needle = F.concat(F.lit(" "), F.col("alias"), F.lit(" "))
-    occ = (
-        (F.length("padded") - F.length(F.replace(F.col("padded"), needle)))
-        / (F.length("alias") + 2)
-    ).cast("long")
-    return (
-        exploded.select("alias", occ.alias("occ"))
-        .groupBy("alias")
-        .agg(F.sum("occ").cast("long").alias("n_occurrences"))
-        .filter(F.col("n_occurrences") > 0)
+    # per-doc counts array via transform over the literal dictionary —
+    # one pass over each text, no row duplication through a join
+    alias_arr = F.array(*[F.lit(a) for a in aliases])
+    counts = F.transform(
+        alias_arr,
+        lambda a: (
+            (
+                F.length(F.col("padded"))
+                - F.length(
+                    F.replace(F.col("padded"), F.concat(F.lit(" "), a, F.lit(" ")))
+                )
+            )
+            / (F.length(a) + 2)
+        ).cast("long"),
     )
+    per_doc = docs.select(padded.alias("padded")).select(
+        F.posexplode(counts).alias("pos", "occ")
+    )
+    totals = per_doc.groupBy("pos").agg(
+        F.sum("occ").cast("long").alias("n_occurrences")
+    )
+    return totals.select(
+        F.element_at(alias_arr, F.col("pos") + 1).alias("alias"), "n_occurrences"
+    ).filter(F.col("n_occurrences") > 0)
 
 
 def _sql_alias_term_counts() -> str:

@@ -57,9 +57,9 @@ def item_popularity(links: DataFrame) -> DataFrame:
 def word_vocabulary(documents: DataFrame, min_count: int = 1) -> DataFrame:
     """Word → occurrence count over the tokenized documents table
     (vocabulary-builder semantics: normalized words, skip punctuation)."""
-    toks = documents.select(F.explode("tokens").alias("t")).select(
-        F.lower(F.col("t.word")).alias("word"), F.col("t.fp").alias("fp")
-    )
+    toks = documents.select(
+        F.explode(F.arrays_zip("t_word", "t_fp")).alias("t")
+    ).select(F.lower(F.col("t.t_word")).alias("word"), F.col("t.t_fp").alias("fp"))
     return (
         toks.filter(F.col("fp") > 1)
         .groupBy("word")

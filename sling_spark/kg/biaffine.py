@@ -105,17 +105,18 @@ def score_spans(documents: DataFrame, scorer: BiaffineScorer | None = None,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                toks = list(r.tokens)
+                brks = list(r.t_brk)
+                all_fps = list(r.t_fp)
                 # sentence bounds from break levels
                 bounds, start = [], 0
-                for i in range(1, len(toks)):
-                    if toks[i]["brk"] >= 2:
+                for i in range(1, len(brks)):
+                    if brks[i] >= 2:
                         bounds.append((start, i))
                         start = i
-                if toks:
-                    bounds.append((start, len(toks)))
+                if brks:
+                    bounds.append((start, len(brks)))
                 for s_idx, (sb, se) in enumerate(bounds):
-                    fps = np.array([toks[i]["fp"] for i in range(sb, se)], dtype=np.uint64)
+                    fps = np.array(all_fps[sb:se], dtype=np.uint64)
                     for b, e, lab, score in scorer.top_spans(fps, threshold):
                         rows.append(
                             {
@@ -135,6 +136,6 @@ def score_spans(documents: DataFrame, scorer: BiaffineScorer | None = None,
                          "begin", "end", "label", "score"],
             )
 
-    return documents.select("repo", "path", "commit", "tokens").mapInPandas(
+    return documents.select("repo", "path", "commit", "t_brk", "t_fp").mapInPandas(
         run, schema=SPAN_SCORES_SCHEMA
     )

@@ -7,15 +7,23 @@ fingerprint and case form (sling/nlp/document/document.h:62-123). For our
 source-code corpus, the tokenizer is ``functions.tokenize`` (line =
 sentence unit).
 
+Data layout (scale-critical): tokens are stored as PARALLEL PRIMITIVE
+ARRAYS (t_word, t_fp, t_brk, t_form, t_begin, t_end) rather than an
+array<struct<...>> — Arrow converts primitive lists an order of magnitude
+faster than list-of-dict struct arrays, and every downstream consumer
+(mentions UDF, IDF, vocabulary) reads only the arrays it needs (column
+pruning inside the row). ``fp_unique`` (the per-doc distinct token
+fingerprints) is precomputed HERE so the IDF build explodes ~100 longs
+per doc instead of ~300 structs.
+
 Scale notes
 -----------
 - Latest-commit selection is ONE shuffle by (repo, path) — unavoidable
-  (it is a group-wide argmax); expressed as max_by so Catalyst plans a
-  partial aggregation (map-side combine) instead of a full window sort.
-- Tokenization is an Arrow-batched mapInPandas — no per-row Python round
-  trips; content is dropped after tokenizing (rows stay narrow; the
-  sha256 lineage column preserves the per-row invariant from
-  BASELINE.json: content sha256 equality).
+  (a group-wide argmax); expressed as max_by so Catalyst plans a partial
+  aggregation (map-side combine), not a window sort.
+- Tokenization is an Arrow-batched mapInPandas; content is dropped after
+  tokenizing (rows stay narrow; the sha256 lineage column preserves the
+  per-row invariant from BASELINE.json).
 """
 
 from __future__ import annotations
@@ -26,24 +34,22 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
 
-TOKEN_FIELDS = "begin int, end int, word string, brk int, fp long, form int"
 DOCUMENTS_SCHEMA = (
     "repo string, path string, commit string, lang string, "
     "content_sha string, n_tokens int, "
-    f"tokens array<struct<{TOKEN_FIELDS}>>"
+    "t_begin array<int>, t_end array<int>, t_word array<string>, "
+    "t_brk array<int>, t_fp array<long>, t_form array<int>, "
+    "fp_unique array<long>"
 )
+
+TOKEN_COLS = ["t_begin", "t_end", "t_word", "t_brk", "t_fp", "t_form"]
 
 
 def latest_versions(corpus: DataFrame) -> DataFrame:
     """Last-writer-wins per (repo, path): the reference orders messages by
     serial within key and keeps the newest (sling/task/sorter.cc:37-56,
     wikidata-importer.cc:100-147 revision tracking). Our serial is the
-    lexicographically greatest commit hash (deterministic).
-
-    max_by keeps this a hash aggregation with map-side partial combine —
-    at 10^12 rows this is strictly cheaper than a window (no per-group
-    sort, AQE can coalesce the post-shuffle partitions).
-    """
+    lexicographically greatest commit hash (deterministic)."""
     return corpus.groupBy("repo", "path").agg(
         F.max("commit").alias("commit"),
         F.max_by("lang", "commit").alias("lang"),
@@ -70,26 +76,18 @@ def build_documents(corpus: DataFrame) -> DataFrame:
                         "lang": row.lang,
                         "content_sha": row.content_sha,
                         "n_tokens": len(toks),
-                        "tokens": [
-                            {
-                                "begin": t.begin,
-                                "end": t.end,
-                                "word": t.word,
-                                "brk": t.brk,
-                                "fp": t.fp,
-                                "form": t.form,
-                            }
-                            for t in toks
-                        ],
+                        "t_begin": [t.begin for t in toks],
+                        "t_end": [t.end for t in toks],
+                        "t_word": [t.word for t in toks],
+                        "t_brk": [t.brk for t in toks],
+                        "t_fp": [t.fp for t in toks],
+                        "t_form": [t.form for t in toks],
+                        "fp_unique": sorted({t.fp for t in toks if t.fp > 1}),
                     }
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "repo", "path", "commit", "lang",
-                    "content_sha", "n_tokens", "tokens",
-                ],
-            )
+            cols = ["repo", "path", "commit", "lang", "content_sha",
+                    "n_tokens", *TOKEN_COLS, "fp_unique"]
+            yield pd.DataFrame(out, columns=cols)
 
     return latest.mapInPandas(tok, schema=DOCUMENTS_SCHEMA)
 
@@ -98,24 +96,18 @@ def idf_table(documents: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Document-frequency → IDF per token fingerprint.
 
     Reference semantics: vocabulary-mapper + idf-table-builder
-    (sling/nlp/silver/idf.cc:39-226): df = #docs containing the
-    (normalized) word, idf = ln(N / df). Consumed by the common-word
-    pruner during mention detection (mentions.h:126).
+    (sling/nlp/silver/idf.cc:39-226): df = #docs containing the word,
+    idf = ln(N / df). Consumed by the common-word pruner
+    (mentions.h:126).
 
-    Plan shape: explode → distinct(doc, fp) via a grouped count — two
-    shuffles (dedup + count), both with partial aggregation. At 100 TB
-    one would pre-aggregate per partition with approx sets; exact here.
-    """
+    Plan: explode the PRE-DEDUPED fp_unique column → one hash agg with
+    map-side combine. No per-doc distinct shuffle."""
     if n_docs is None:
         n_docs = documents.count()
-    tok = documents.select(
-        F.col("content_sha").alias("doc"),
-        F.explode("tokens").alias("t"),
-    ).select("doc", F.col("t.fp").alias("fp"), F.col("t.word").alias("word"))
-    # skipped/punctuation tokens (fp==1) carry no IDF
-    tok = tok.filter(F.col("fp") > F.lit(1))
     df_counts = (
-        tok.select("doc", "fp").distinct().groupBy("fp").agg(F.count("*").alias("df"))
+        documents.select(F.explode("fp_unique").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
     )
     return df_counts.select(
         "fp",

@@ -1,34 +1,33 @@
-"""Mention detection + entity linking.
+"""Mention detection + entity linking + (fused) relation extraction.
 
-Reference semantics (sling/nlp/silver/mentions.cc + sling/nlp/kb/
-resolver.cc), reproduced per sentence unit:
+Reference semantics (sling/nlp/silver/mentions.cc, sling/nlp/kb/
+resolver.cc, sling/nlp/silver/relations.cc), per sentence unit:
 
 1. **Span enumeration** (SpanPopulator, mentions.cc:45-100): every token
    span up to ``max_span`` whose phrase fingerprint hits the phrase
-   table is a candidate. Spans must start/end on non-skipped tokens.
+   table is a candidate; spans start/end on non-skipped tokens.
 2. **Common-word pruning** (CommonWordPruner, mentions.h:126): a
-   single-token candidate whose surface form is all-lowercase and whose
-   token IDF is below threshold is pruned (stop-symbol guard — in code
-   corpora these are ubiquitous identifiers).
-3. **Span cover** (SpanChart::Solve, sling/nlp/silver/chart.cc:52-98):
-   dynamic-programming minimum-cost cover of the sentence — skipping a
-   token costs 2, any matched span costs 1, so matches beat skips and
-   longer matches beat chains of shorter ones. Ties are broken toward
-   the longer (earlier-starting) span, deterministically.
-4. **Resolution** (ResolverContext, resolver.cc:31-151): candidates for
-   the selected span are scored ``(base + context[entity]) * count``
-   with base 1e-3; a case-form mismatch multiplies by 0.1; an entity
-   already mentioned in this document multiplies by 30 (resolver.h:50-54
-   weights). Winning entity feeds the context: itself with weight
-   500/popularity, its outbound link targets with count/popularity —
-   sequential *within* a document (SURVEY.md §4 risk #4), embarrassingly
-   parallel across documents.
+   single-token candidate whose surface is all-lowercase and whose IDF
+   is below threshold is pruned.
+3. **Span cover** (SpanChart::Solve, chart.cc:52-98): DP minimum-cost
+   cover — skip costs 2, any span costs 1; ties prefer the longer span.
+4. **Resolution** (ResolverContext, resolver.cc:31-151): score =
+   ``(base + context[entity]) * count``; case-form mismatch x0.1;
+   locally-mentioned x30 (resolver.h:50-54). The winner feeds the
+   context (500/popularity for itself, count/popularity per outbound
+   link) — sequential within a document, parallel across documents.
+5. **Relations** (relations.cc:28-227): per sentence, subjects left to
+   right, each subject's KB facts in property-priority order, closest
+   unused target mention wins, one incoming relation per target.
 
-Execution shape: ONE Arrow-batched mapInPandas over the documents table;
-the phrase table / IDF / links / popularity ride along as Spark
-broadcast variables (the analog of SLING memory-mapping its repository
-files in every worker, sling/file/repository.h:30-60). No shuffle is
-introduced: mention rows inherit the documents partitioning.
+The reference runs these as ONE annotator chain per document
+(silver.py:105-169); we do the same: ONE Arrow-batched mapInPandas pass
+emits mention rows and relation rows together (a `kind` column splits
+them), with the phrase table / IDF / links / popularity / facts
+broadcast — the analog of SLING memory-mapping its repository files per
+worker (sling/file/repository.h:30-60). No shuffle anywhere in the
+annotation path; order-dependent logic stays inside the per-document
+call (SURVEY.md §4 risk #4).
 """
 
 from __future__ import annotations
@@ -37,15 +36,27 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
 from ..functions.normalize import CASE_NONE
+from ..sources.kb import BLOCKED_PROPERTIES, PROPERTY_PRIORITY
 
-MENTIONS_SCHEMA = (
-    "repo string, path string, commit string, content_sha string, "
-    "sentence int, begin int, end int, phrase string, fp long, "
-    "entity string, score double, form int"
+ANNOTATIONS_SCHEMA = (
+    "kind string, repo string, path string, commit string, "
+    "content_sha string, sentence int, begin int, end int, "
+    "phrase string, fp long, entity string, score double, form int, "
+    "pred string, obj string"
 )
+
+MENTION_COLS = [
+    "repo", "path", "commit", "content_sha", "sentence",
+    "begin", "end", "phrase", "fp", "entity", "score", "form",
+]
+RELATION_COLS = [
+    "repo", "path", "commit", "content_sha", "sentence",
+    "subj", "pred", "obj", "begin", "end",
+]
 
 # resolver weights — resolver.h:50-54 semantics
 BASE_CONTEXT = 1e-3
@@ -69,102 +80,109 @@ class KbAssets:
     statements: dict[str, list[tuple[str, str]]]  # subj -> [(pid, obj)]
 
 
-def _phrase_case_form_tokens(forms: list[int], words: list[str]) -> int:
-    alpha_forms = [f for f, w in zip(forms, words) if any(c.isalpha() for c in w)]
-    if not alpha_forms:
-        return CASE_NONE
-    first = alpha_forms[0]
-    return first if all(f == first for f in alpha_forms) else CASE_NONE
+def _sentence_bounds(brks: list[int]) -> list[tuple[int, int]]:
+    n = len(brks)
+    if n == 0:
+        return []
+    bounds = []
+    start = 0
+    for i in range(1, n):
+        if brks[i] >= 2:  # BREAK_SENTENCE
+            bounds.append((start, i))
+            start = i
+    bounds.append((start, n))
+    return bounds
 
 
 def annotate_document(
-    tokens: list[dict],
-    sentence_bounds: list[tuple[int, int]],
+    words: list[str],
+    brks: list[int],
+    fps: list[int],
+    forms: list[int],
     assets: KbAssets,
     min_idf: float = DEFAULT_MIN_IDF,
     max_span: int = DEFAULT_MAX_SPAN,
-) -> list[dict]:
-    """Run the annotator chain on one document; returns mention dicts
-    with sentence index and resolver score. Sequential context accretion
-    across the document's sentences (resolver.cc:57-69)."""
+) -> tuple[list[dict], list[dict]]:
+    """Annotator chain for one document over parallel token arrays.
+    Returns (mentions, relations); span offsets are token indices."""
+    phrase_table = assets.phrase_table
+    idf_tab = assets.idf
+    popularity = assets.popularity
+    links = assets.links
+    statements = assets.statements
+    prio = {p: i for i, p in enumerate(PROPERTY_PRIORITY)}
+
     context: dict[str, float] = {}
     mentioned: set[str] = set()
-    out: list[dict] = []
+    mentions: list[dict] = []
+    relations: list[dict] = []
 
-    for s_idx, (s_begin, s_end) in enumerate(sentence_bounds):
-        n = s_end - s_begin
-        if n <= 0:
-            continue
+    for s_idx, (sb, se) in enumerate(_sentence_bounds(brks)):
+        n = se - sb
         # ---- 1/2: candidate spans ------------------------------------
-        # matches[e_rel] = list of (b_rel, fp, form) for spans ending at e_rel
-        matches: dict[int, list[tuple[int, int, int]]] = {}
+        ends: dict[int, list[tuple[int, int, int]]] = {}
         for b in range(n):
-            tb = tokens[s_begin + b]
-            if tb["fp"] == FP_SKIPPED:
+            if fps[sb + b] == FP_SKIPPED:
                 continue
             fp = 0
-            words: list[str] = []
-            forms: list[int] = []
+            span_forms: list[int] = []
+            has_alpha_mixed = 0  # 0 unset, else running shared form or -1
             for l in range(1, min(max_span, n - b) + 1):
-                te = tokens[s_begin + b + l - 1]
-                if te["fp"] != FP_SKIPPED:
-                    fp = te["fp"] if fp == 0 else fingerprint_cat(fp, te["fp"])
-                words.append(te["word"])
-                forms.append(te["form"])
-                if fp == 0 or te["fp"] == FP_SKIPPED:
-                    # span ending on a skipped token is not a candidate,
-                    # but longer spans through it still are
+                i = sb + b + l - 1
+                tfp = fps[i]
+                w = words[i]
+                if any(c.isalpha() for c in w):
+                    f = forms[i]
+                    if has_alpha_mixed == 0:
+                        has_alpha_mixed = f if f != CASE_NONE else -1
+                    elif has_alpha_mixed != f:
+                        has_alpha_mixed = -1
+                if tfp == FP_SKIPPED:
                     continue
-                if fp not in assets.phrase_table:
+                fp = tfp if fp == 0 else fingerprint_cat(fp, tfp)
+                if fp not in phrase_table:
                     continue
-                # common-word pruning for single lowercase tokens
-                if l == 1:
-                    idf = assets.idf.get(te["fp"])
-                    all_lower = words[0].islower()
-                    if all_lower and idf is not None and idf < min_idf:
+                if l == 1 and w.islower():
+                    v = idf_tab.get(tfp)
+                    if v is not None and v < min_idf:
                         continue
-                form = _phrase_case_form_tokens(forms, words)
-                matches.setdefault(b + l, []).append((b, fp, form))
+                form = has_alpha_mixed if has_alpha_mixed > 0 else CASE_NONE
+                ends.setdefault(b + l, []).append((b, fp, form))
 
         # ---- 3: DP minimum-cost cover ---------------------------------
         INF = float("inf")
         dp = [0.0] + [INF] * n
-        back: list[tuple[int, int, int] | None] = [None] * (n + 1)  # (b, fp, form)
+        back: list[tuple | None] = [None] * (n + 1)
         for e in range(1, n + 1):
             cost = dp[e - 1] + TOKEN_SKIP_COST
             choice = None
-            # matches sorted by begin asc => longest first wins ties
-            for b, fp, form in sorted(matches.get(e, [])):
-                c = dp[b] + SPAN_COST
-                if c < cost:
-                    cost, choice = c, (b, fp, form)
+            cands = ends.get(e)
+            if cands:
+                for b, fp, form in sorted(cands):
+                    c = dp[b] + SPAN_COST
+                    if c < cost:
+                        cost, choice = c, (b, fp, form)
             dp[e] = cost
             back[e] = choice
-        # reconstruct selected spans left-to-right (resolver order)
-        spans: list[tuple[int, int, int, int]] = []  # (b_rel, e_rel, fp, form)
+        spans: list[tuple[int, int, int, int]] = []
         e = n
         while e > 0:
             ch = back[e]
             if ch is None:
                 e -= 1
             else:
-                b, fp, form = ch
-                spans.append((b, e, fp, form))
-                e = b
+                spans.append((ch[0], e, ch[1], ch[2]))
+                e = ch[0]
         spans.reverse()
 
         # ---- 4: resolve, left to right --------------------------------
+        sent_mentions: list[tuple[int, int, str]] = []  # (begin_abs, end_abs, entity)
         for b_rel, e_rel, fp, form in spans:
-            cands = assets.phrase_table[fp]
             best = None
             best_key = None
-            for entity, count, alias_form, _reliable in cands:
+            for entity, count, aform, _rel in phrase_table[fp]:
                 score = (BASE_CONTEXT + context.get(entity, 0.0)) * count
-                if (
-                    form != CASE_NONE
-                    and alias_form != CASE_NONE
-                    and form != alias_form
-                ):
+                if form != CASE_NONE and aform != CASE_NONE and form != aform:
                     score *= CASE_PENALTY
                 if entity in mentioned:
                     score *= LOCAL_BOOST
@@ -172,45 +190,141 @@ def annotate_document(
                 if best_key is None or key < best_key:
                     best, best_key = (entity, score), key
             entity, score = best
-            # context update (resolver.cc:133-151 AddEntity semantics)
-            pop = max(1, assets.popularity.get(entity, 1))
-            context[entity] = context.get(entity, 0.0) + MENTION_WEIGHT / pop
-            for dst, cnt in assets.links.get(entity, ()):
-                dpop = max(1, assets.popularity.get(dst, 1))
+            pop = popularity.get(entity) or 1
+            context[entity] = context.get(entity, 0.0) + MENTION_WEIGHT / max(1, pop)
+            for dst, cnt in links.get(entity, ()):
+                dpop = max(1, popularity.get(dst) or 1)
                 context[dst] = context.get(dst, 0.0) + cnt / dpop
             mentioned.add(entity)
-            b_tok = tokens[s_begin + b_rel]
-            e_tok = tokens[s_begin + e_rel - 1]
-            out.append(
+            b_abs, e_abs = sb + b_rel, sb + e_rel
+            sent_mentions.append((b_abs, e_abs, entity))
+            mentions.append(
                 {
                     "sentence": s_idx,
-                    "begin": s_begin + b_rel,
-                    "end": s_begin + e_rel,
-                    "phrase": " ".join(
-                        tokens[i]["word"] for i in range(s_begin + b_rel, s_begin + e_rel)
-                    ),
+                    "begin": b_abs,
+                    "end": e_abs,
+                    "phrase": " ".join(words[b_abs:e_abs]),
                     "fp": fp,
                     "entity": entity,
                     "score": score,
                     "form": form,
-                    "char_begin": b_tok["begin"],
-                    "char_end": e_tok["end"],
                 }
             )
-    return out
+
+        # ---- 5: relations (relations.cc greedy) ------------------------
+        if len(sent_mentions) >= 2:
+            used: set[int] = set()
+            for s_begin, s_end, s_entity in sent_mentions:
+                facts = statements.get(s_entity)
+                if not facts:
+                    continue
+                ordered = sorted(
+                    {f for f in facts if f[0] not in BLOCKED_PROPERTIES},
+                    key=lambda f: (prio.get(f[0], 99), f[0], f[1]),
+                )
+                for pid, obj in ordered:
+                    cands = [
+                        ob
+                        for ob, _oe, oent in sent_mentions
+                        if oent == obj and ob != s_begin and ob not in used
+                    ]
+                    if not cands:
+                        continue
+                    o_begin = min(cands, key=lambda ob: (abs(ob - s_begin), ob))
+                    used.add(o_begin)
+                    relations.append(
+                        {
+                            "sentence": s_idx,
+                            "subj": s_entity,
+                            "pred": pid,
+                            "obj": obj,
+                            "begin": s_begin,
+                            "end": s_end,
+                        }
+                    )
+    return mentions, relations
 
 
-def _sentence_bounds(tokens: list[dict]) -> list[tuple[int, int]]:
-    if not tokens:
-        return []
-    bounds = []
-    start = 0
-    for i in range(1, len(tokens)):
-        if tokens[i]["brk"] >= 2:  # BREAK_SENTENCE
-            bounds.append((start, i))
-            start = i
-    bounds.append((start, len(tokens)))
-    return bounds
+def annotate(
+    documents: DataFrame,
+    assets_bc,
+    min_idf: float = DEFAULT_MIN_IDF,
+    max_span: int = DEFAULT_MAX_SPAN,
+) -> DataFrame:
+    """documents → unified annotation rows (kind = mention | relation).
+    Narrow transformation — no shuffle; split with mentions_of/
+    relations_of (one cached pass serves both)."""
+
+    def run(batches):
+        assets = assets_bc.value
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                words = list(row.t_word)
+                ms, rs = annotate_document(
+                    words,
+                    [int(x) for x in row.t_brk],
+                    # numpy int64 * python 64-bit constants silently
+                    # promotes to float; fingerprints must be Python ints
+                    [int(x) for x in row.t_fp],
+                    [int(x) for x in row.t_form],
+                    assets,
+                    min_idf,
+                    max_span,
+                )
+                doc = {
+                    "repo": row.repo,
+                    "path": row.path,
+                    "commit": row.commit,
+                    "content_sha": row.content_sha,
+                }
+                for m in ms:
+                    rows.append(
+                        {
+                            "kind": "mention", **doc,
+                            "sentence": m["sentence"], "begin": m["begin"],
+                            "end": m["end"], "phrase": m["phrase"],
+                            "fp": m["fp"], "entity": m["entity"],
+                            "score": m["score"], "form": m["form"],
+                            "pred": None, "obj": None,
+                        }
+                    )
+                for r in rs:
+                    rows.append(
+                        {
+                            "kind": "relation", **doc,
+                            "sentence": r["sentence"], "begin": r["begin"],
+                            "end": r["end"], "phrase": None, "fp": None,
+                            "entity": r["subj"], "score": None, "form": None,
+                            "pred": r["pred"], "obj": r["obj"],
+                        }
+                    )
+            cols = ["kind", "repo", "path", "commit", "content_sha",
+                    "sentence", "begin", "end", "phrase", "fp",
+                    "entity", "score", "form", "pred", "obj"]
+            pdf_out = pd.DataFrame(rows, columns=cols)
+            # fp is None on relation rows; pandas coerces such mixed
+            # columns to float64 AT CONSTRUCTION, destroying 63-bit
+            # fingerprint precision — rebuild from the original ints
+            # with a nullable integer dtype
+            pdf_out["fp"] = pd.array([r["fp"] for r in rows], dtype="Int64")
+            pdf_out["form"] = pd.array([r["form"] for r in rows], dtype="Int32")
+            yield pdf_out
+
+    needed = ["repo", "path", "commit", "content_sha",
+              "t_word", "t_brk", "t_fp", "t_form"]
+    return documents.select(*needed).mapInPandas(run, schema=ANNOTATIONS_SCHEMA)
+
+
+def mentions_of(annotations: DataFrame) -> DataFrame:
+    return annotations.filter(F.col("kind") == "mention").select(*MENTION_COLS)
+
+
+def relations_of(annotations: DataFrame) -> DataFrame:
+    return annotations.filter(F.col("kind") == "relation").select(
+        "repo", "path", "commit", "content_sha", "sentence",
+        F.col("entity").alias("subj"), "pred", "obj", "begin", "end",
+    )
 
 
 def detect_mentions(
@@ -219,41 +333,5 @@ def detect_mentions(
     min_idf: float = DEFAULT_MIN_IDF,
     max_span: int = DEFAULT_MAX_SPAN,
 ) -> DataFrame:
-    """documents → mentions. ``assets_bc`` is a Spark broadcast of
-    :class:`KbAssets`. Narrow transformation — no shuffle."""
-
-    def run(batches):
-        assets = assets_bc.value
-        for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                toks = [dict(t) if not isinstance(t, dict) else t for t in row.tokens]
-                for m in annotate_document(
-                    toks, _sentence_bounds(toks), assets, min_idf, max_span
-                ):
-                    rows.append(
-                        {
-                            "repo": row.repo,
-                            "path": row.path,
-                            "commit": row.commit,
-                            "content_sha": row.content_sha,
-                            "sentence": m["sentence"],
-                            "begin": m["begin"],
-                            "end": m["end"],
-                            "phrase": m["phrase"],
-                            "fp": m["fp"],
-                            "entity": m["entity"],
-                            "score": m["score"],
-                            "form": m["form"],
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "repo", "path", "commit", "content_sha", "sentence",
-                    "begin", "end", "phrase", "fp", "entity", "score", "form",
-                ],
-            )
-
-    cols = [c for c in documents.columns if c != "lang" and c != "n_tokens"]
-    return documents.select(*cols).mapInPandas(run, schema=MENTIONS_SCHEMA)
+    """Mentions only (the standalone stage used by tests/queries)."""
+    return mentions_of(annotate(documents, assets_bc, min_idf, max_span))

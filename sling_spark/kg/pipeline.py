@@ -29,9 +29,9 @@ from pyspark.sql import functions as F
 from ..sources.corpus import corpus_df
 from .assets import build_assets, seed_dataframes
 from .documents import build_documents
-from .mentions import detect_mentions
+from .mentions import annotate, mentions_of, relations_of
 from .reconcile import kb_triples, merge_items, reconcile_items
-from .relations import doc_triples, extract_relations, facts_df
+from .relations import doc_triples
 from .xref import build_clusters, canonicalize
 
 
@@ -69,14 +69,19 @@ def run_pipeline(
 
     assets_bc, phrase_table = build_assets(spark, documents, seed)
 
-    mentions = _materialize(
-        detect_mentions(documents, assets_bc), spark, checkpoint_dir, "mentions"
+    # ONE annotation pass emits mention + relation rows together (the
+    # annotator-chain shape; relations are order-dependent within a
+    # sentence, so they belong inside the per-document call). The
+    # equivalent join-based plan (mentions x broadcast(facts) x mentions
+    # + per-sentence solve) lives in relations.extract_relations and is
+    # kept result-identical by tests.
+    annotations = _materialize(
+        annotate(documents, assets_bc), spark, checkpoint_dir, "annotations"
     )
-
-    facts = facts_df(spark, seed["items"])
-    relations = _materialize(
-        extract_relations(mentions, facts), spark, checkpoint_dir, "relations"
-    )
+    if checkpoint_dir is None:
+        annotations = annotations.persist()
+    mentions = mentions_of(annotations)
+    relations = relations_of(annotations)
 
     clusters = _materialize(
         build_clusters(seed["same_as"]), spark, checkpoint_dir, "clusters"

@@ -6,7 +6,7 @@ import pytest
 
 from sling_spark.kg.assets import build_assets, seed_dataframes
 from sling_spark.kg.documents import build_documents, idf_table
-from sling_spark.kg.mentions import detect_mentions
+from sling_spark.kg.mentions import annotate, mentions_of, relations_of
 from sling_spark.kg.relations import extract_relations, facts_df
 from sling_spark.kg.xref import build_clusters
 from sling_spark.oracle import kg_oracle
@@ -44,8 +44,10 @@ def stages(spark):
     seed = seed_dataframes(spark)
     documents = build_documents(corpus_df(spark, N_FILES, partitions=4)).persist()
     assets_bc, pt_df = build_assets(spark, documents, seed)
-    mentions = detect_mentions(documents, assets_bc).persist()
-    relations = extract_relations(mentions, facts_df(spark, seed["items"])).persist()
+    annotations = annotate(documents, assets_bc).persist()
+    mentions = mentions_of(annotations)
+    relations = relations_of(annotations)
+    relations_join = extract_relations(mentions, facts_df(spark, seed["items"]))
     return {
         "seed": seed,
         "documents": documents,
@@ -53,6 +55,7 @@ def stages(spark):
         "assets": assets_bc.value,
         "mentions": mentions,
         "relations": relations,
+        "relations_join": relations_join,
     }
 
 
@@ -101,6 +104,18 @@ def test_relations_match_oracle(stages, oracle):
     want = [tuple(t[c] for c in cols) for t in oracle["relations"]]
     assert sorted(got) == sorted(want)
     assert len(got) > 20
+
+
+def test_join_based_relations_equal_fused(stages):
+    """The declarative plan (mentions x broadcast(facts) x mentions +
+    per-sentence solve) and the fused annotator emit identical rows."""
+    cols = ["repo", "path", "commit", "sentence", "subj", "pred", "obj",
+            "begin", "end"]
+    fused = sorted(tuple(r[c] for c in cols) for r in stages["relations"].collect())
+    joined = sorted(
+        tuple(r[c] for c in cols) for r in stages["relations_join"].collect()
+    )
+    assert fused == joined
 
 
 def test_xref_clusters_match_oracle(spark, stages):

@@ -143,8 +143,8 @@ def test_resumability(spark, results, oracle):
     """Nuke a mid-pipeline checkpoint, re-run: identical triples."""
     res, ckpt = results
     before = triple_set(_dictrows(res["triples"]))
-    # simulate a crash after mentions: downstream stages lost
-    for stage in ("relations", "triples", "kb_items", "clusters"):
+    # simulate a crash after annotation: downstream stages lost
+    for stage in ("triples", "kb_items", "clusters"):
         shutil.rmtree(f"{ckpt}/{stage}", ignore_errors=True)
     res2 = run_pipeline(spark, n_files=N_FILES, checkpoint_dir=ckpt)
     after = triple_set(_dictrows(res2["triples"]))
