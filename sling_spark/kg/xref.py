@@ -115,16 +115,24 @@ def normalized_edges(same_as: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, loop_partitions: int = 8
+) -> DataFrame:
     """Min-label propagation: (id, component), component = lexicographic
-    min reachable id. O(diameter) shuffle rounds, partial-agg combined."""
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    min reachable id. O(diameter) shuffle rounds, partial-agg combined.
+    The loop runs on ``loop_partitions`` (the id space is the DIMENSION
+    side — scheduling 64 tasks per round for a KB-sized table is pure
+    overhead; raise for planet-scale id graphs)."""
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(loop_partitions, "a")
+        .persist()
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .coalesce(loop_partitions)
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -137,6 +145,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .union(neighbor_min)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .coalesce(loop_partitions)
             .localCheckpoint()  # truncate lineage each round
         )
         changed = (
@@ -151,6 +160,42 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             break
     sym.unpersist()
     return labels
+
+
+def _clusters_driver(edge_rows: list[tuple[str, str]]) -> list[dict]:
+    """Global sequential union-find with main+main refusals over a
+    collected edge list — exact xref.cc semantics, used when the edge
+    set is dimension-sized (it IS the oracle algorithm; the distributed
+    CC + per-component repair path is proven equivalent by tests)."""
+    ordered = sorted(set(edge_rows), key=lambda e: _edge_sort_key(*e))
+    parent: dict[str, str] = {}
+    has_main: dict[str, bool] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        has_main.setdefault(x, is_main(x))
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ordered:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if has_main[ra] and has_main[rb]:
+            continue
+        lo, hi = min(ra, rb), max(ra, rb)
+        parent[hi] = lo
+        has_main[lo] = has_main[lo] or has_main[hi]
+    groups: dict[str, list[str]] = {}
+    for node in parent:
+        groups.setdefault(find(node), []).append(node)
+    out = []
+    for group in groups.values():
+        canon = display_id(min(group, key=lambda i: (id_priority(i), i)))
+        out.extend({"member_id": m, "canonical_id": canon} for m in group)
+    return out
 
 
 def _resolve_component(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -190,11 +235,24 @@ def _resolve_component(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["member_id", "canonical_id"])
 
 
-def build_clusters(same_as: DataFrame) -> DataFrame:
+def build_clusters(same_as: DataFrame, driver_threshold: int = 200_000) -> DataFrame:
     """same_as edges → (member_id, canonical_id), main-id constraint
     enforced. Singleton ids (no edges) are their own cluster and are
-    simply absent — canonicalize() falls through to identity."""
+    simply absent — canonicalize() falls through to identity.
+
+    Edge sets up to ``driver_threshold`` run as a single driver-side
+    union-find (the exact sequential semantics; xref tables are
+    dimension-sized, and a dozen iterative Spark jobs for 10^4 edges is
+    pure scheduling overhead). Larger sets take the distributed path:
+    min-label CC + per-conflicted-component repair — result-identical,
+    proven by tests that run both."""
     edges = normalized_edges(same_as).persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = _clusters_driver([(r["a"], r["b"]) for r in edges.collect()])
+        spark = same_as.sparkSession
+        edges.unpersist()
+        return spark.createDataFrame(rows, schema=CLUSTERS_SCHEMA)
     labels = connected_components(edges)
 
     mains_per_comp = (

@@ -125,6 +125,15 @@ def test_xref_clusters_match_oracle(spark, stages):
     }
     want = kg_oracle.build_clusters()
     assert got == want
+    # the distributed path (min-label CC + per-conflicted-component
+    # repair) must be result-identical to the driver union-find
+    dist = {
+        r["member_id"]: r["canonical_id"]
+        for r in build_clusters(
+            stages["seed"]["same_as"], driver_threshold=0
+        ).collect()
+    }
+    assert dist == want
     # adversarial invariants
     assert got["github:apache/spark"] == "Q1"  # case-variant edge folded in
     assert got["crates:redis"] == "Q38"  # ring closed fine

@@ -1,0 +1,47 @@
+"""Materialization: partitioned triple table, extraction metrics,
+name table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sling_spark.kg.materialize import (
+    counter_invariants,
+    extraction_metrics,
+    write_triples,
+)
+from sling_spark.kg.pipeline import run_pipeline
+
+
+def test_materialize_and_metrics(spark, tmp_path):
+    res = run_pipeline(spark, n_files=40)
+    out = str(tmp_path / "triples")
+    write_triples(res["triples"], out, n_buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == res["triples"].count()
+    # partition pruning by source works (directory-level)
+    kb_only = spark.read.parquet(out).filter(F.col("source") == "kb_statement")
+    assert 0 < kb_only.count() < back.count()
+    assert "subj_bucket" in back.columns
+
+    metrics = extraction_metrics(res["documents"], res["mentions"], res["relations"])
+    rows = {r["repo"]: r for r in metrics.collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == 40
+    inv = counter_invariants(metrics)
+    assert inv["docs"] == 40 and inv["mentions"] > 0 and inv["relations"] > 0
+    # counter parity with the actual tables
+    assert inv["mentions"] == res["mentions"].count()
+    assert inv["relations"] == res["relations"].count()
+
+
+def test_name_table(spark):
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.phrase_table import build_name_table, select_aliases
+
+    seed = seed_dataframes(spark)
+    nt = build_name_table(select_aliases(seed["aliases"]))
+    rows = nt.collect()
+    names = [r["name"] for r in rows]
+    assert names == sorted(names)  # prefix-searchable ordering
+    by_name = {r["name"]: r["entries"] for r in rows}
+    assert any(e["entity"] == "Q1" for e in by_name["spark"])
