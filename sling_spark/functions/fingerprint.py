@@ -20,6 +20,7 @@ mix. Both the Spark UDFs and the oracle import exactly these functions.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 from .normalize import normalize_phrase
 
@@ -39,9 +40,12 @@ def hash64(text: str) -> int:
     return h
 
 
+@lru_cache(maxsize=1 << 20)
 def token_fp(word: str) -> int:
     """Fingerprint of one token: hash of normalized text; punctuation-only
-    tokens return FP_SKIPPED."""
+    tokens return FP_SKIPPED. Cached: corpus vocabularies are tiny
+    relative to token counts, so the normalize+hash path hits the cache
+    ~99% of the time inside a long-lived executor worker."""
     norm = normalize_phrase(word)
     if not norm or not any(ch.isalnum() for ch in norm):
         return FP_SKIPPED

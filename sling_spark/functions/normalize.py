@@ -14,6 +14,7 @@ document.h:97 and the alias `form` field, wiki.h:48-64).
 from __future__ import annotations
 
 import unicodedata
+from functools import lru_cache
 
 # Case forms — matches the reference's 4-valued CaseForm enum semantics:
 # NONE (mixed/unknown), LOWER, UPPER, TITLE.
@@ -40,7 +41,7 @@ def normalize_phrase(text: str) -> str:
     return " ".join(text.split())
 
 
-def case_form(word: str) -> int:
+def _case_form_uncached(word: str) -> int:
     """Classify the case form of a token (LOWER/UPPER/TITLE/NONE)."""
     letters = [ch for ch in word if ch.isalpha()]
     if not letters:
@@ -52,6 +53,9 @@ def case_form(word: str) -> int:
     if letters[0].isupper() and all(ch.islower() for ch in letters[1:]):
         return CASE_TITLE
     return CASE_NONE
+
+
+case_form = lru_cache(maxsize=1 << 20)(_case_form_uncached)
 
 
 def phrase_case_form(words: list[str]) -> int:

@@ -63,31 +63,36 @@ def build_documents(corpus: DataFrame) -> DataFrame:
         "content_sha", F.sha2(F.col("content"), 256)
     )
 
+    cols = ["repo", "path", "commit", "lang", "content_sha",
+            "n_tokens", *TOKEN_COLS, "fp_unique"]
+
     def tok(batches):
         for pdf in batches:
-            out = []
+            # column-wise construction: one list per output column (a
+            # list-of-dicts DataFrame costs ~3x in pandas)
+            data = {c: [] for c in cols}
             for row in pdf.itertuples(index=False):
                 toks = tokenize(row.content)
-                out.append(
-                    {
-                        "repo": row.repo,
-                        "path": row.path,
-                        "commit": row.commit,
-                        "lang": row.lang,
-                        "content_sha": row.content_sha,
-                        "n_tokens": len(toks),
-                        "t_begin": [t.begin for t in toks],
-                        "t_end": [t.end for t in toks],
-                        "t_word": [t.word for t in toks],
-                        "t_brk": [t.brk for t in toks],
-                        "t_fp": [t.fp for t in toks],
-                        "t_form": [t.form for t in toks],
-                        "fp_unique": sorted({t.fp for t in toks if t.fp > 1}),
-                    }
-                )
-            cols = ["repo", "path", "commit", "lang", "content_sha",
-                    "n_tokens", *TOKEN_COLS, "fp_unique"]
-            yield pd.DataFrame(out, columns=cols)
+                data["repo"].append(row.repo)
+                data["path"].append(row.path)
+                data["commit"].append(row.commit)
+                data["lang"].append(row.lang)
+                data["content_sha"].append(row.content_sha)
+                data["n_tokens"].append(len(toks))
+                if toks:
+                    tb, te, tw, tk, tf, tm = zip(
+                        *((t.begin, t.end, t.word, t.brk, t.fp, t.form) for t in toks)
+                    )
+                else:
+                    tb = te = tw = tk = tf = tm = ()
+                data["t_begin"].append(list(tb))
+                data["t_end"].append(list(te))
+                data["t_word"].append(list(tw))
+                data["t_brk"].append(list(tk))
+                data["t_fp"].append(list(tf))
+                data["t_form"].append(list(tm))
+                data["fp_unique"].append(sorted({fp for fp in tf if fp > 1}))
+            yield pd.DataFrame(data, columns=cols)
 
     return latest.mapInPandas(tok, schema=DOCUMENTS_SCHEMA)
 

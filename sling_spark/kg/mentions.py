@@ -255,10 +255,14 @@ def annotate(
     Narrow transformation — no shuffle; split with mentions_of/
     relations_of (one cached pass serves both)."""
 
+    cols = ["kind", "repo", "path", "commit", "content_sha",
+            "sentence", "begin", "end", "phrase", "fp",
+            "entity", "score", "form", "pred", "obj"]
+
     def run(batches):
         assets = assets_bc.value
         for pdf in batches:
-            rows = []
+            data = {c: [] for c in cols}
             for row in pdf.itertuples(index=False):
                 words = list(row.t_word)
                 ms, rs = annotate_document(
@@ -272,44 +276,40 @@ def annotate(
                     min_idf,
                     max_span,
                 )
-                doc = {
-                    "repo": row.repo,
-                    "path": row.path,
-                    "commit": row.commit,
-                    "content_sha": row.content_sha,
-                }
+                n = len(ms) + len(rs)
+                data["repo"].extend([row.repo] * n)
+                data["path"].extend([row.path] * n)
+                data["commit"].extend([row.commit] * n)
+                data["content_sha"].extend([row.content_sha] * n)
+                data["kind"].extend(["mention"] * len(ms) + ["relation"] * len(rs))
                 for m in ms:
-                    rows.append(
-                        {
-                            "kind": "mention", **doc,
-                            "sentence": m["sentence"], "begin": m["begin"],
-                            "end": m["end"], "phrase": m["phrase"],
-                            "fp": m["fp"], "entity": m["entity"],
-                            "score": m["score"], "form": m["form"],
-                            "pred": None, "obj": None,
-                        }
-                    )
+                    data["sentence"].append(m["sentence"])
+                    data["begin"].append(m["begin"])
+                    data["end"].append(m["end"])
+                    data["phrase"].append(m["phrase"])
+                    data["fp"].append(m["fp"])
+                    data["entity"].append(m["entity"])
+                    data["score"].append(m["score"])
+                    data["form"].append(m["form"])
+                    data["pred"].append(None)
+                    data["obj"].append(None)
                 for r in rs:
-                    rows.append(
-                        {
-                            "kind": "relation", **doc,
-                            "sentence": r["sentence"], "begin": r["begin"],
-                            "end": r["end"], "phrase": None, "fp": None,
-                            "entity": r["subj"], "score": None, "form": None,
-                            "pred": r["pred"], "obj": r["obj"],
-                        }
-                    )
-            cols = ["kind", "repo", "path", "commit", "content_sha",
-                    "sentence", "begin", "end", "phrase", "fp",
-                    "entity", "score", "form", "pred", "obj"]
-            pdf_out = pd.DataFrame(rows, columns=cols)
-            # fp is None on relation rows; pandas coerces such mixed
-            # columns to float64 AT CONSTRUCTION, destroying 63-bit
-            # fingerprint precision — rebuild from the original ints
-            # with a nullable integer dtype
-            pdf_out["fp"] = pd.array([r["fp"] for r in rows], dtype="Int64")
-            pdf_out["form"] = pd.array([r["form"] for r in rows], dtype="Int32")
-            yield pdf_out
+                    data["sentence"].append(r["sentence"])
+                    data["begin"].append(r["begin"])
+                    data["end"].append(r["end"])
+                    data["phrase"].append(None)
+                    data["fp"].append(None)
+                    data["entity"].append(r["subj"])
+                    data["score"].append(None)
+                    data["form"].append(None)
+                    data["pred"].append(r["pred"])
+                    data["obj"].append(r["obj"])
+            # fp/form carry None on relation rows; explicit nullable
+            # integer dtypes prevent pandas' float64 coercion (which
+            # silently destroys 63-bit fingerprint precision)
+            data["fp"] = pd.array(data["fp"], dtype="Int64")
+            data["form"] = pd.array(data["form"], dtype="Int32")
+            yield pd.DataFrame(data, columns=cols)
 
     needed = ["repo", "path", "commit", "content_sha",
               "t_word", "t_brk", "t_fp", "t_form"]

@@ -59,7 +59,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # quiet the UI in tests / sandboxes
         .config("spark.ui.enabled", os.environ.get("SLING_SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SLING_SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap; 32 concurrent
+        # tasks caching token-array columns thrash an 8g heap (measured
+        # 2x wall-clock regression), so default high and let the OS lazily
+        # commit. Override via SLING_SPARK_DRIVER_MEM on small machines.
+        .config("spark.driver.memory", os.environ.get("SLING_SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
