@@ -97,8 +97,9 @@ class BiaffineScorer:
 
 def score_spans(documents: DataFrame, scorer: BiaffineScorer | None = None,
                 threshold: float = 2.0) -> DataFrame:
-    """documents → (doc, sentence, begin, end, label, score) span rows.
-    One mapInPandas pass; scoring is numpy-batched per sentence."""
+    """documents (tokens layout, see build_documents) → (doc, sentence,
+    begin, end, label, score) span rows. One mapInPandas pass; scoring
+    is numpy-batched per sentence."""
     scorer = scorer or BiaffineScorer()
 
     def run(batches):

