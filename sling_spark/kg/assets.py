@@ -58,7 +58,11 @@ def build_assets(
 ):
     """Run the alias-selection + phrase-table + IDF builds in Spark, then
     broadcast the collected lookup structures. Returns (broadcast,
-    phrase_table_df) — the DataFrame is exposed for tests/parity."""
+    phrase_table_df) — the DataFrame is exposed for tests/parity.
+
+    ``seed`` feeds the alias/phrase-table build; the links/popularity/
+    statements dicts come straight from the literal kb fixtures (same
+    data, no DataFrame round-trip)."""
     seed = seed or seed_dataframes(spark)
     selected = select_aliases(seed["aliases"], min_count=min_alias_count)
     pt_df = build_phrase_table(selected)
@@ -67,17 +71,19 @@ def build_assets(
     idf_df = idf_table(documents)
     idf = {r["fp"]: r["idf"] for r in idf_df.collect()}
 
+    # links/popularity/statements are literal seed fixtures — build the
+    # dicts straight from the source rows instead of a DataFrame
+    # round-trip (each collect is a whole Spark job; three of them cost
+    # more than the entire annotation pass on a busy machine)
     links: dict[str, list[tuple[str, int]]] = {}
-    for r in seed["links"].collect():
+    for r in kb.links_rows():
         links.setdefault(r["src"], []).append((r["dst"], r["count"]))
     for v in links.values():
         v.sort()  # deterministic context-update order
 
-    popularity = {r["id"]: r["count"] for r in seed["popularity"].collect()}
+    popularity = {r["id"]: r["count"] for r in kb.popularity_rows()}
 
-    statements: dict[str, list[tuple[str, str]]] = {}
-    for r in seed["items"].collect():
-        statements[r["id"]] = [(st["pid"], st["object"]) for st in r["statements"]]
+    statements = kb.statements_lookup()
 
     assets = KbAssets(
         phrase_table=pt,
