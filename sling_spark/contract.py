@@ -888,6 +888,40 @@ GROUP BY alias HAVING sum((length(padded) - length(replace(padded, ' ' || alias 
 # ===========================================================================
 
 
+def q_doc_lsh_candidates(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs on the dup fixture — the
+    banded-signature scale path (xxhash64-based, so rows-only check;
+    the exact-Jaccard twin doc_ngram_jaccard carries the SQL oracle)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    sh = shingles(corpus, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, num_hashes=32)
+    return lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    """Approximate ANN via multi-table signed-random-projection buckets
+    (deterministic hyperplanes; rows-only — recall<1 by construction,
+    cross-checked against emb_knn_bruteforce in tests)."""
+    from .operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries, k=5, planes=6, tables=8)
+
+
+def q_kg_biaffine_spans(spark, sf_dir):
+    """Batched biaffine span scoring over the synthetic corpus (the
+    Myelin-inner-loop replacement, SURVEY.md §2.8) — rows-only."""
+    from .kg.biaffine import score_spans
+    from .kg.documents import build_documents
+    from .sources.corpus import corpus_df
+
+    docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
+    return score_spans(docs, threshold=3.0)
+
+
 def q_kg_triples(spark, sf_dir):
     from .kg.pipeline import run_pipeline
 
@@ -935,6 +969,9 @@ def queries():
         "emb_label_centroids": q_emb_centroids,
         "kg_xref_components": q_kg_xref_components,
         "kg_alias_term_counts": q_kg_alias_term_counts,
+        "doc_lsh_candidates": q_doc_lsh_candidates,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "kg_biaffine_spans": q_kg_biaffine_spans,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
     }
