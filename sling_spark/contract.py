@@ -919,7 +919,7 @@ def q_kg_biaffine_spans(spark, sf_dir):
     from .sources.corpus import corpus_df
 
     docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
-    return score_spans(docs, threshold=3.0)
+    return score_spans(docs, threshold=1.5)
 
 
 def q_kg_triples(spark, sf_dir):
