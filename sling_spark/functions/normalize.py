@@ -30,9 +30,11 @@ _NAME_PUNCT = {".", "'", "’"}
 
 
 def normalize_phrase(text: str) -> str:
-    """Apply "lcn" normalization: lowercase, strip diacritics, drop name
-    punctuation, collapse whitespace runs to single spaces."""
-    text = text.lower()
+    """Apply "lcn" normalization: case-fold, strip diacritics, drop name
+    punctuation, collapse whitespace runs to single spaces. Full Unicode
+    case folding (casefold, not lower) so e.g. 'ß' and 'SS' normalize
+    identically — the reference's Unicode-aware lowercasing semantics."""
+    text = text.casefold()
     # diacritic strip: NFKD decompose, drop combining marks
     text = "".join(
         ch for ch in unicodedata.normalize("NFKD", text) if not unicodedata.combining(ch)
