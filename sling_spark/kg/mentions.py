@@ -46,12 +46,12 @@ ANNOTATIONS_SCHEMA = (
     "kind string, repo string, path string, commit string, "
     "content_sha string, sentence int, begin int, end int, "
     "phrase string, fp long, entity string, score double, form int, "
-    "pred string, obj string"
+    "anaphora boolean, pred string, obj string"
 )
 
 MENTION_COLS = [
     "repo", "path", "commit", "content_sha", "sentence",
-    "begin", "end", "phrase", "fp", "entity", "score", "form",
+    "begin", "end", "phrase", "fp", "entity", "score", "form", "anaphora",
 ]
 RELATION_COLS = [
     "repo", "path", "commit", "content_sha", "sentence",
@@ -67,6 +67,8 @@ TOKEN_SKIP_COST = 2.0
 SPAN_COST = 1.0
 DEFAULT_MIN_IDF = 1.2
 DEFAULT_MAX_SPAN = 5
+ANAPHORA_WINDOW = 3  # sentences an antecedent may be away (anaphora.cc)
+PRONOUNS = {"it", "this"}  # code-corpus pronoun inventory
 
 
 @dataclass
@@ -208,13 +210,51 @@ def annotate_document(
                     "entity": entity,
                     "score": score,
                     "form": form,
+                    "anaphora": False,
+                }
+            )
+
+        # ---- 4b: anaphora (anaphora.cc semantics, code-corpus lite) ----
+        # a pronoun token resolves to the most recent NON-anaphor mention
+        # from a previous sentence within the window; the anaphor then
+        # acts as a relation SUBJECT (never as a target).
+        anaphors: list[tuple[int, int, str]] = []
+        covered = {i for b, e, _ent in sent_mentions for i in range(b, e)}
+        for i in range(sb, se):
+            if i in covered or words[i].casefold() not in PRONOUNS:
+                continue
+            antecedent = None
+            for m in reversed(mentions):
+                if m["anaphora"]:
+                    continue
+                if m["sentence"] >= s_idx:
+                    continue
+                if m["sentence"] < s_idx - ANAPHORA_WINDOW:
+                    break
+                antecedent = m
+                break
+            if antecedent is None:
+                continue
+            anaphors.append((i, i + 1, antecedent["entity"]))
+            mentions.append(
+                {
+                    "sentence": s_idx,
+                    "begin": i,
+                    "end": i + 1,
+                    "phrase": words[i],
+                    "fp": fps[i],
+                    "entity": antecedent["entity"],
+                    "score": 0.0,
+                    "form": forms[i],
+                    "anaphora": True,
                 }
             )
 
         # ---- 5: relations (relations.cc greedy) ------------------------
-        if len(sent_mentions) >= 2:
+        subjects = sorted(sent_mentions + anaphors)
+        if subjects and sent_mentions:
             used: set[int] = set()
-            for s_begin, s_end, s_entity in sent_mentions:
+            for s_begin, s_end, s_entity in subjects:
                 facts = statements.get(s_entity)
                 if not facts:
                     continue
@@ -225,7 +265,7 @@ def annotate_document(
                 for pid, obj in ordered:
                     cands = [
                         ob
-                        for ob, _oe, oent in sent_mentions
+                        for ob, _oe, oent in sent_mentions  # targets: real mentions only
                         if oent == obj and ob != s_begin and ob not in used
                     ]
                     if not cands:
@@ -257,7 +297,7 @@ def annotate(
 
     cols = ["kind", "repo", "path", "commit", "content_sha",
             "sentence", "begin", "end", "phrase", "fp",
-            "entity", "score", "form", "pred", "obj"]
+            "entity", "score", "form", "anaphora", "pred", "obj"]
 
     def run(batches):
         from ..functions.tokenize import tokenize
@@ -296,6 +336,7 @@ def annotate(
                     data["entity"].append(m["entity"])
                     data["score"].append(m["score"])
                     data["form"].append(m["form"])
+                    data["anaphora"].append(m["anaphora"])
                     data["pred"].append(None)
                     data["obj"].append(None)
                 for r in rs:
@@ -307,6 +348,7 @@ def annotate(
                     data["entity"].append(r["subj"])
                     data["score"].append(None)
                     data["form"].append(None)
+                    data["anaphora"].append(None)
                     data["pred"].append(r["pred"])
                     data["obj"].append(r["obj"])
             # fp/form carry None on relation rows; explicit nullable

@@ -109,7 +109,8 @@ def extract_relations(mentions: DataFrame, facts: DataFrame) -> DataFrame:
         F.col("begin").alias("s_begin"),
         F.col("end").alias("s_end"),
     )
-    m2 = mentions.select(
+    m2 = mentions.filter(~F.col("anaphora")).select(
+        # anaphors act as subjects but never as relation TARGETS
         *_SENTENCE_KEY,
         F.col("entity").alias("o_entity"),
         F.col("begin").alias("o_begin"),

@@ -24,12 +24,14 @@ from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
 from ..functions.normalize import CASE_NONE, normalize_phrase
 from ..functions.tokenize import sentences, tokenize
 from ..kg.mentions import (
+    ANAPHORA_WINDOW,
     BASE_CONTEXT,
     CASE_PENALTY,
     DEFAULT_MAX_SPAN,
     DEFAULT_MIN_IDF,
     LOCAL_BOOST,
     MENTION_WEIGHT,
+    PRONOUNS,
     SPAN_COST,
     TOKEN_SKIP_COST,
 )
@@ -145,6 +147,7 @@ def annotate(
         toks = d["tokens"]
         context: dict[str, float] = {}
         seen: set[str] = set()
+        doc_mentions: list[dict] = []  # anaphora never crosses documents
         for s_idx, (sb, se) in enumerate(sentences(toks)):
             n = se - sb
             # enumerate candidate spans
@@ -201,6 +204,7 @@ def annotate(
                     e = ch[0]
             spans.reverse()
             # resolve left-to-right
+            sent_spans = []
             for b_rel, e_rel, fp, form in spans:
                 best, best_key = None, None
                 for entity, count, aform, _rel in phrase_table[fp]:
@@ -219,7 +223,8 @@ def annotate(
                     dpop = max(1, popularity.get(dst, 1))
                     context[dst] = context.get(dst, 0.0) + cnt / dpop
                 seen.add(entity)
-                mentions.append(
+                sent_spans.append((sb + b_rel, sb + e_rel))
+                doc_mentions.append(
                     {
                         "repo": d["repo"],
                         "path": d["path"],
@@ -235,8 +240,45 @@ def annotate(
                         "entity": entity,
                         "score": score,
                         "form": form,
+                        "anaphora": False,
                     }
                 )
+            # anaphora: pronoun -> most recent non-anaphor mention from a
+            # previous sentence within the window
+            covered = {i for b, e in sent_spans for i in range(b, e)}
+            for i in range(sb, se):
+                if i in covered or toks[i].word.casefold() not in PRONOUNS:
+                    continue
+                antecedent = None
+                for m in reversed(doc_mentions):
+                    if m["anaphora"]:
+                        continue
+                    if m["sentence"] >= s_idx:
+                        continue
+                    if m["sentence"] < s_idx - ANAPHORA_WINDOW:
+                        break
+                    antecedent = m
+                    break
+                if antecedent is None:
+                    continue
+                doc_mentions.append(
+                    {
+                        "repo": d["repo"],
+                        "path": d["path"],
+                        "commit": d["commit"],
+                        "content_sha": d["content_sha"],
+                        "sentence": s_idx,
+                        "begin": i,
+                        "end": i + 1,
+                        "phrase": toks[i].word,
+                        "fp": toks[i].fp,
+                        "entity": antecedent["entity"],
+                        "score": 0.0,
+                        "form": toks[i].form,
+                        "anaphora": True,
+                    }
+                )
+        mentions.extend(doc_mentions)
     return mentions
 
 
@@ -254,6 +296,7 @@ def extract_relations(mentions: list[dict]) -> list[dict]:
     triples = []
     for key in sorted(by_sentence):
         ms = sorted(by_sentence[key], key=lambda m: (m["begin"], -m["end"]))
+        targets = [m for m in ms if not m.get("anaphora")]
         used: set[int] = set()
         for subj in ms:
             facts = [
@@ -265,7 +308,7 @@ def extract_relations(mentions: list[dict]) -> list[dict]:
             for pid, obj in facts:
                 cands = [
                     o
-                    for o in ms
+                    for o in targets  # anaphors never serve as targets
                     if o["entity"] == obj
                     and o["begin"] != subj["begin"]
                     and o["begin"] not in used

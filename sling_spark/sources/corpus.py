@@ -52,6 +52,17 @@ _SINGLE_TEMPLATES = [
     "{s} integration helpers live here",
 ]
 
+# pronoun-relation sentences: subject is an anaphor ("it") resolving to
+# the most recent prior mention (exercises the anaphora annotator,
+# sling/nlp/silver/anaphora.cc semantics)
+_PRONOUN_TEMPLATES = {
+    "P1": "it depends on {o} at runtime",
+    "P2": "it is written in {o}",
+    "P3": "it is maintained by {o}",
+    "P4": "it is licensed under {o}",
+    "P5": "it stores data as {o}",
+}
+
 _NOISE = [
     "load the configuration from the environment",
     "retry with exponential backoff on transient failures",
@@ -146,10 +157,19 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
             tpl = rng.choice(_REL_TEMPLATES[pid])
             comment(tpl.format(s=_pick_alias(rng, s), o=_pick_alias(rng, obj)))
             primed.extend([s, obj])
-        elif kind < 8:  # single-mention sentence
+        elif kind < 7:  # single-mention sentence
             s = rng.choice(list(_ENTITY_ALIASES))
             comment(rng.choice(_SINGLE_TEMPLATES).format(s=_pick_alias(rng, s)))
             primed.append(s)
+        elif kind < 8 and primed:  # pronoun relation about a primed entity
+            s = primed[-1]
+            stmts = [st for st in _STATEMENTS.get(s, ())
+                     if st[0] not in kb.BLOCKED_PROPERTIES]
+            if stmts:
+                pid, obj = rng.choice(stmts)
+                comment(_PRONOUN_TEMPLATES[pid].format(o=_pick_alias(rng, obj)))
+            else:
+                comment(rng.choice(_NOISE))
         else:
             comment(rng.choice(_NOISE))
         # filler code line between comments

@@ -90,7 +90,7 @@ def test_idf_matches_oracle(spark, stages, oracle):
 
 def test_mentions_match_oracle(stages, oracle):
     cols = ["repo", "path", "commit", "sentence", "begin", "end", "phrase",
-            "fp", "entity", "score", "form"]
+            "fp", "entity", "score", "form", "anaphora"]
     got = {tuple(r[c] for c in cols) for r in stages["mentions"].collect()}
     want = {tuple(m[c] for c in cols) for m in oracle["mentions"]}
     assert got == want
