@@ -1,0 +1,101 @@
+"""Incremental (streaming) KG construction: batch parity + exactly-once
+increments, plus the upsert/CDC emulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _triple_set(df):
+    return {
+        (r["subj"], r["pred"], r["obj"],
+         r["provenance"]["path"], r["provenance"]["begin"])
+        for r in df.collect()
+    }
+
+
+def test_streaming_increments_match_batch(spark, tmp_path):
+    from sling_spark.kg.assets import build_assets, seed_dataframes
+    from sling_spark.kg.documents import build_documents, latest_versions
+    from sling_spark.kg.mentions import annotate, relations_of
+    from sling_spark.kg.relations import doc_triples
+    from sling_spark.sources.corpus import corpus_df
+    from sling_spark.streaming.kg_stream import (
+        annotate_stream,
+        read_corpus_stream,
+        run_to_parquet,
+        stream_triples,
+    )
+
+    seed = seed_dataframes(spark)
+    # pre-deduped corpus (streams carry one version per file here;
+    # replay idempotence is covered by dropDuplicates)
+    full = latest_versions(corpus_df(spark, 40, partitions=4)).persist()
+    batch1 = full.filter(F.xxhash64("path") % 2 == 0)
+    batch2 = full.filter(F.xxhash64("path") % 2 != 0)
+
+    src = str(tmp_path / "corpus_src")
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1.write.parquet(src)
+
+    # assets built from the FULL corpus documents (the commons KB is a
+    # batch asset; streaming only annotates)
+    docs_full = build_documents(full)
+    assets_bc, _ = build_assets(spark, docs_full, seed)
+
+    # increment 1
+    stream = stream_triples(
+        annotate_stream(read_corpus_stream(spark, src), assets_bc)
+    )
+    run_to_parquet(stream, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+
+    # increment 2: drop more files into the source dir, re-run
+    batch2.write.mode("append").parquet(src)
+    stream = stream_triples(
+        annotate_stream(read_corpus_stream(spark, src), assets_bc)
+    )
+    run_to_parquet(stream, out, ckpt)
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > n1 > 0
+
+    # parity: streamed triples == batch annotation of the same corpus
+    batch_triples = doc_triples(relations_of(annotate(docs_full, assets_bc)))
+    assert _triple_set(streamed) == _triple_set(batch_triples)
+
+    # exactly-once: re-running with no new input appends nothing
+    stream = stream_triples(
+        annotate_stream(read_corpus_stream(spark, src), assets_bc)
+    )
+    run_to_parquet(stream, out, ckpt)
+    assert spark.read.parquet(out).count() == streamed.count()
+
+
+def test_upsert_and_cdc(spark):
+    from sling_spark.operators.upsert import apply_cdc, latest_wins, upsert
+
+    target = spark.createDataFrame(
+        [("Q1", "name", "Spark", 1), ("Q2", "name", "Hadoop", 1)],
+        "subj string, pred string, obj string, version int",
+    )
+    updates = spark.createDataFrame(
+        [("Q1", "name", "Apache Spark", 2), ("Q3", "name", "NumPy", 2)],
+        "subj string, pred string, obj string, version int",
+    )
+    merged = upsert(target, updates, ["subj", "pred"])
+    got = {(r["subj"], r["obj"]) for r in merged.collect()}
+    assert got == {("Q1", "Apache Spark"), ("Q2", "Hadoop"), ("Q3", "NumPy")}
+
+    stacked = target.unionByName(updates)
+    latest = latest_wins(stacked, ["subj", "pred"], "version")
+    got = {(r["subj"], r["obj"]) for r in latest.collect()}
+    assert got == {("Q1", "Apache Spark"), ("Q2", "Hadoop"), ("Q3", "NumPy")}
+
+    changes = spark.createDataFrame(
+        [("Q2", "name", None, 3, "D"), ("Q4", "name", "pandas", 3, "I")],
+        "subj string, pred string, obj string, version int, op string",
+    )
+    after = apply_cdc(merged, changes, ["subj", "pred"])
+    got = {(r["subj"], r["obj"]) for r in after.collect()}
+    assert got == {("Q1", "Apache Spark"), ("Q3", "NumPy"), ("Q4", "pandas")}
