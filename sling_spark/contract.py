@@ -444,6 +444,77 @@ SELECT user_id, total_value, n_events, rank FROM (
 """
 
 
+def q_events_asof_signup(spark, sf_dir):
+    """As-of join (window formulation): for every event, the epoch of the
+    user's most recent signup at-or-before it (Spark lacks native ASOF;
+    this is the single-shuffle window plan — operators/asof.py)."""
+    from .operators.asof import window_asof
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch(F.col("ts")).alias("epoch")
+    )
+    out = window_asof(
+        ev,
+        key="user_id",
+        time_col="epoch",
+        mark_col=F.col("event_type") == "signup",
+        value_col=F.col("epoch"),
+        out_col="last_signup",
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "epoch", "last_signup")
+
+
+_SQL_ASOF = """
+SELECT event_id, user_id, epoch, last_signup FROM (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS epoch,
+         last(CASE WHEN event_type = 'signup' THEN floor(epoch(ts))::BIGINT END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+  FROM events
+)
+"""
+
+
+def q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP aggregation (hierarchical subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_lineitem_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (percentile == DuckDB
+    quantile_cont, both linear interpolation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       count(*)::BIGINT AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ===========================================================================
 # documents: dedup, text stats, fingerprints, near-dup, minhash, simhash
 # ===========================================================================
@@ -953,6 +1024,9 @@ def queries():
         "orders_semi_join": q_orders_semi_join,
         "parts_anti_join": q_parts_anti_join,
         "order_status_pivot": q_order_status_pivot,
+        "events_asof_signup": q_events_asof_signup,
+        "lineitem_rollup": q_lineitem_rollup,
+        "lineitem_quantiles": q_lineitem_quantiles,
         "events_sessionize": q_events_sessionize,
         "events_tumbling_5min": q_events_tumbling,
         "events_json_extract": q_events_json,
@@ -987,6 +1061,9 @@ def oracle_sql():
         "orders_semi_join": _SQL_SEMI,
         "parts_anti_join": _SQL_ANTI,
         "order_status_pivot": _SQL_PIVOT,
+        "events_asof_signup": _SQL_ASOF,
+        "lineitem_rollup": _SQL_ROLLUP,
+        "lineitem_quantiles": _SQL_QUANTILES,
         "events_sessionize": _SQL_SESSIONIZE,
         "events_tumbling_5min": _SQL_TUMBLING,
         "events_json_extract": _SQL_JSON,
