@@ -83,7 +83,7 @@ def build_assets(
 
     popularity = {r["id"]: r["count"] for r in kb.popularity_rows()}
 
-    statements = kb.statements_lookup()
+    statements = kb.facts_lookup()  # P279 closure (facts.h semantics)
 
     assets = KbAssets(
         phrase_table=pt,

@@ -36,14 +36,47 @@ _SENTENCE_KEY = ["repo", "path", "commit", "content_sha", "sentence"]
 
 
 def facts_df(spark, items: DataFrame) -> DataFrame:
-    """Explode item statements into (subj, pid, obj) fact rows, dropping
-    blocked properties (the Facts::Extract analog, facts.h:30-90)."""
-    f = items.select(
+    """Facts::Extract as a DataFrame plan (facts.h:30-90): direct item
+    statements UNION statements inherited through up to
+    FACTS_CLOSURE_DEPTH hops of P279 (taxonomy traversal), blocked
+    properties dropped from emission. The closure is two broadcast
+    self-joins on the dimension-sized taxonomy — no corpus-side cost."""
+    from ..sources.kb import FACTS_CLOSURE_DEPTH
+
+    base = items.select(
         F.col("id").alias("subj"), F.explode("statements").alias("st")
     ).select(
         "subj", F.col("st.pid").alias("pid"), F.col("st.object").alias("obj")
     )
-    return f.filter(~F.col("pid").isin(list(BLOCKED_PROPERTIES)))
+    is_a = base.filter(F.col("pid") == "P279").select(
+        "subj", F.col("obj").alias("parent")
+    )
+    direct = base.filter(~F.col("pid").isin(list(BLOCKED_PROPERTIES)))
+
+    out = direct
+    # reach[d] = (subj, ancestor at depth d); inherit ancestor's facts
+    reach = is_a
+    for _ in range(FACTS_CLOSURE_DEPTH):
+        inherited = (
+            reach.join(
+                F.broadcast(direct.withColumnRenamed("subj", "parent")),
+                on="parent",
+            ).select("subj", "pid", "obj")
+        )
+        out = out.unionByName(inherited)
+        reach = (
+            reach.join(
+                F.broadcast(
+                    is_a.select(
+                        F.col("subj").alias("parent"),
+                        F.col("parent").alias("grandparent"),
+                    )
+                ),
+                on="parent",
+            )
+            .select("subj", F.col("grandparent").alias("parent"))
+        )
+    return out.distinct()
 
 
 def _solve_sentence(pdf: pd.DataFrame) -> pd.DataFrame:

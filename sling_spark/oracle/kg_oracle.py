@@ -288,7 +288,7 @@ def annotate(
 
 
 def extract_relations(mentions: list[dict]) -> list[dict]:
-    stmts = kb.statements_lookup()
+    stmts = kb.facts_lookup()
     prio = {p: i for i, p in enumerate(kb.PROPERTY_PRIORITY)}
     by_sentence: dict[tuple, list[dict]] = defaultdict(list)
     for m in mentions:
@@ -301,7 +301,7 @@ def extract_relations(mentions: list[dict]) -> list[dict]:
         for subj in ms:
             facts = [
                 (pid, obj)
-                for pid, obj in stmts.get(subj["entity"], [])
+                for pid, obj in stmts.get(subj["entity"], ())
                 if pid not in kb.BLOCKED_PROPERTIES
             ]
             facts = sorted(set(facts), key=lambda f: (prio.get(f[0], 99), f[0], f[1]))

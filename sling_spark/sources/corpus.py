@@ -92,9 +92,10 @@ def commit_hex(repo: str, path: str, version: int) -> str:
 _ENTITY_ALIASES: dict[str, list[tuple[str, int]]] = {
     e[0]: list(e[3]) for e in kb._E
 }
-_REL_SUBJECTS = [qid for qid, _n, _t, _a, stmts, _x in kb._E
-                 if any(p not in kb.BLOCKED_PROPERTIES for p, _ in stmts)]
-_STATEMENTS = kb.statements_lookup()
+_FACTS = {qid: sorted(facts) for qid, facts in kb.facts_lookup().items()}
+_REL_SUBJECTS = [qid for qid in sorted(_FACTS)
+                 if any(p not in kb.BLOCKED_PROPERTIES for p, _ in _FACTS[qid])
+                 and qid in _ENTITY_ALIASES]
 
 
 def _pick_alias(rng: random.Random, qid: str) -> str:
@@ -152,7 +153,7 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
         kind = rng.randrange(10)
         if kind < 5:  # relation sentence
             s = rng.choice(_REL_SUBJECTS)
-            stmts = [st for st in _STATEMENTS[s] if st[0] not in kb.BLOCKED_PROPERTIES]
+            stmts = [st for st in _FACTS[s] if st[0] not in kb.BLOCKED_PROPERTIES]
             pid, obj = rng.choice(stmts)
             tpl = rng.choice(_REL_TEMPLATES[pid])
             comment(tpl.format(s=_pick_alias(rng, s), o=_pick_alias(rng, obj)))
@@ -163,7 +164,7 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
             primed.append(s)
         elif kind < 8 and primed:  # pronoun relation about a primed entity
             s = primed[-1]
-            stmts = [st for st in _STATEMENTS.get(s, ())
+            stmts = [st for st in _FACTS.get(s, ())
                      if st[0] not in kb.BLOCKED_PROPERTIES]
             if stmts:
                 pid, obj = rng.choice(stmts)

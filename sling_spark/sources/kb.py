@@ -82,11 +82,11 @@ _E = [
      [("github", "apache/arrow"), ("pypi", "pyarrow")]),
     ("Q6", "TensorFlow", ["library"],
      [("TensorFlow", 220), ("tensorflow", 180), ("TF", 40)],
-     [("P2", "Q16"), ("P3", "Q51"), ("P4", "Q60"), ("P1", "Q3")],
+     [("P2", "Q16"), ("P3", "Q51"), ("P4", "Q60"), ("P1", "Q3"), ("P279", "Q71")],
      [("github", "tensorflow/tensorflow"), ("pypi", "tensorflow")]),
     ("Q7", "PyTorch", ["library"],
      [("PyTorch", 240), ("torch", 160)],
-     [("P2", "Q16"), ("P3", "Q52"), ("P4", "Q62"), ("P1", "Q3")],
+     [("P2", "Q16"), ("P3", "Q52"), ("P4", "Q62"), ("P1", "Q3"), ("P279", "Q71")],
      [("github", "pytorch/pytorch"), ("pypi", "torch")]),
     ("Q8", "Apache Kafka", ["system"],
      [("Apache Kafka", 60), ("Kafka", 170)],
@@ -223,6 +223,16 @@ _E = [
     ("Q64", "Python Software Foundation License", ["license"],
      [("PSF License", 15)],
      [],
+     []),
+    # --- class items (P279 taxonomy; exercise the Facts closure,
+    # sling/nlp/kb/facts.h:30-90 "closure over P31/P279") -------------
+    ("Q71", "machine learning framework", ["class"],
+     [("machine learning framework", 20), ("ML framework", 25)],
+     [("P5", "Q24"), ("P279", "Q72")],  # ML frameworks serialize with protobuf
+     []),
+    ("Q72", "software system", ["class"],
+     [("software system", 10)],
+     [("P1", "Q23")],  # software systems consume JSON
      []),
 ]
 
@@ -409,7 +419,37 @@ def source_item_fragments() -> list[dict]:
 
 
 def statements_lookup() -> dict[str, list[tuple[str, str]]]:
-    """subject -> [(pid, object)] for relation extraction (the Facts
-    analog, sling/nlp/kb/facts.h:30-90 — direct statements only; the
-    P31/P279 closure is out of scope and P279 is blocked anyway)."""
+    """subject -> [(pid, object)], direct statements only."""
     return {qid: list(stmts) for qid, _n, _t, _a, stmts, _alt in _E}
+
+
+FACTS_CLOSURE_DEPTH = 2  # P279 hops the Facts extractor follows
+
+
+def facts_lookup() -> dict[str, set[tuple[str, str]]]:
+    """subject -> fact SET for relation extraction: direct statements
+    plus statements inherited through up to FACTS_CLOSURE_DEPTH hops of
+    P279 (the Facts::Extract closure, sling/nlp/kb/facts.h:30-90 /
+    facts.cc). P279 itself never appears as a fact (it is blocked for
+    relation emission and serves only as the traversal edge)."""
+    direct = statements_lookup()
+    out: dict[str, set[tuple[str, str]]] = {}
+    for qid in direct:
+        facts: set[tuple[str, str]] = set()
+        frontier = [qid]
+        seen = {qid}
+        for _depth in range(FACTS_CLOSURE_DEPTH + 1):
+            nxt = []
+            for node in frontier:
+                for pid, obj in direct.get(node, ()):
+                    if pid == "P279":
+                        if obj not in seen:
+                            seen.add(obj)
+                            nxt.append(obj)
+                    else:
+                        facts.add((pid, obj))
+            frontier = nxt
+            if not frontier:
+                break
+        out[qid] = facts
+    return out

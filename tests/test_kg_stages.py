@@ -118,6 +118,26 @@ def test_join_based_relations_equal_fused(stages):
     assert fused == joined
 
 
+def test_facts_closure_matches_lookup(spark, stages):
+    """The DataFrame P279 closure (facts_df) emits exactly the fact set
+    of the pure-Python closure (facts.h Facts::Extract semantics)."""
+    from sling_spark.sources import kb as kbmod
+
+    got = {
+        (r["subj"], r["pid"], r["obj"])
+        for r in facts_df(spark, stages["seed"]["items"]).collect()
+    }
+    want = {
+        (subj, pid, obj)
+        for subj, facts in kbmod.facts_lookup().items()
+        for pid, obj in facts
+    }
+    assert got == want
+    # inherited facts present: TensorFlow gets protobuf (depth 1) and
+    # JSON (depth 2) through the Q71 -> Q72 chain
+    assert ("Q6", "P5", "Q24") in got and ("Q6", "P1", "Q23") in got
+
+
 def test_xref_clusters_match_oracle(spark, stages):
     got = {
         r["member_id"]: r["canonical_id"]
