@@ -34,6 +34,35 @@ def test_materialize_and_metrics(spark, tmp_path):
     assert inv["relations"] == res["relations"].count()
 
 
+def test_anchor_alias_bootstrap(spark):
+    """Corpus-derived anchor aliases aggregate resolved mentions and
+    feed a second phrase-table build (alias bootstrap round)."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.anchor_aliases import corpus_anchor_aliases, merged_alias_table
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.phrase_table import build_phrase_table, select_aliases
+
+    res = run_pipeline(spark, n_files=40)
+    anchors = corpus_anchor_aliases(res["mentions"], min_count=2)
+    rows = anchors.collect()
+    assert len(rows) > 10
+    assert all(r["sources"] == 4 for r in rows)  # SRC_ANCHOR
+    # counts equal the number of non-anaphor mention occurrences
+    spark_count = (
+        res["mentions"].filter(~F.col("anaphora"))
+        .groupBy("entity", "fp").count()
+    )
+    want = {(r["entity"], r["fp"]): r["count"] for r in spark_count.collect()}
+    for r in rows:
+        assert r["count"] == want[(r["entity"], r["fp"])]
+    # the merged table builds a valid phrase table with boosted counts
+    seed = seed_dataframes(spark)
+    merged = merged_alias_table(seed["aliases"], anchors)
+    pt2 = build_phrase_table(select_aliases(merged))
+    assert pt2.count() > 0
+
+
 def test_name_table(spark):
     from sling_spark.kg.assets import seed_dataframes
     from sling_spark.kg.phrase_table import build_name_table, select_aliases

@@ -75,10 +75,10 @@ def test_relations_uses_broadcast_facts(spark):
 
     seed = seed_dataframes(spark)
     mentions = spark.createDataFrame(
-        [("r", "p", "c", "s", 0, 0, 1, "x", 1, "Q1", 1.0, 1)],
+        [("r", "p", "c", "s", 0, 0, 1, "x", 1, "Q1", 1.0, 1, False)],
         "repo string, path string, commit string, content_sha string, "
         "sentence int, begin int, end int, phrase string, fp long, "
-        "entity string, score double, form int",
+        "entity string, score double, form int, anaphora boolean",
     )
     rel = extract_relations(mentions, facts_df(spark, seed["items"]))
     assert_broadcast_join(rel)
