@@ -1,0 +1,54 @@
+"""Skew handling on the Zipfian corpus (north rule: skewed repos via
+salted repartition + AQE skew-join splitting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sling_spark.operators.partition import salt_heavy_keys, skew_report
+from sling_spark.sources.corpus import corpus_df
+
+
+def test_corpus_is_zipfian_and_skew_report_finds_it(spark):
+    corpus = corpus_df(spark, 400, partitions=8).persist()
+    report = skew_report(corpus, "repo", top=3).collect()
+    # FIXTURES.md: a few repos hold ~50% of rows
+    assert report[0]["share"] > 0.2
+    assert sum(r["share"] for r in report) > 0.4
+
+
+def test_salted_aggregation_matches_unsalted(spark):
+    """Two-phase salted aggregation over the hot keys produces exactly
+    the plain groupBy result (the skew-mitigation correctness
+    invariant): partial agg on salted_key, final agg on the true key."""
+    corpus = corpus_df(spark, 400, partitions=8).persist()
+    plain = {
+        (r["repo"],): (r["n"], r["chars"])
+        for r in corpus.groupBy("repo")
+        .agg(F.count("*").alias("n"), F.sum(F.length("content")).alias("chars"))
+        .collect()
+    }
+    heavy = skew_report(corpus, "repo", top=2).select("repo")
+    salted = salt_heavy_keys(corpus, "repo", heavy, salt_buckets=8)
+    two_phase = (
+        salted.groupBy("salted_key", "repo")
+        .agg(F.count("*").alias("n"), F.sum(F.length("content")).alias("chars"))
+        .groupBy("repo")
+        .agg(F.sum("n").alias("n"), F.sum("chars").alias("chars"))
+    )
+    got = {(r["repo"],): (r["n"], r["chars"]) for r in two_phase.collect()}
+    assert got == plain
+    # the hot key actually spread over multiple salted partitions
+    hot = heavy.collect()[0]["repo"]
+    n_buckets = (
+        salted.filter(F.col("repo") == hot)
+        .select("salted_key")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_aqe_skew_configs_active(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
