@@ -959,6 +959,58 @@ GROUP BY alias HAVING sum((length(padded) - length(replace(padded, ' ' || alias 
 # ===========================================================================
 
 
+def _seed_statement_values() -> str:
+    """The seed KB's exploded (subj, pid, obj) statements as a SQL VALUES
+    list — lets DuckDB oracle-check the KB aggregation operators."""
+    from .sources import kb
+
+    rows = []
+    for item in kb.entities():
+        for st in item["statements"]:
+            rows.append((item["id"], st["pid"], st["object"]))
+    return ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in sorted(rows))
+
+
+def q_kg_item_fanin(spark, sf_dir):
+    """Incoming fact references per item (fanin.cc semantics) over the
+    seed KB — a real explode+agg plan, oracle-checked via VALUES."""
+    from .kg.aggregates import item_fanin
+    from .kg.assets import seed_dataframes
+
+    return item_fanin(seed_dataframes(spark)["items"])
+
+
+def _sql_item_fanin() -> str:
+    return f"""
+WITH st(subj, pid, obj) AS (VALUES {_seed_statement_values()})
+SELECT obj AS target, count(*)::BIGINT AS fanin
+FROM st WHERE obj LIKE 'Q%' GROUP BY obj
+"""
+
+
+def q_kg_property_usage(spark, sf_dir):
+    """Per-property usage counts by subject type (property-usage.cc)."""
+    from .kg.aggregates import property_usage
+    from .kg.assets import seed_dataframes
+
+    return property_usage(seed_dataframes(spark)["items"])
+
+
+def _sql_property_usage() -> str:
+    from .sources import kb
+
+    rows = []
+    for item in kb.entities():
+        for t in item["types"]:
+            for st in item["statements"]:
+                rows.append((t, st["pid"]))
+    values = ", ".join(f"('{t}', '{p}')" for t, p in sorted(rows))
+    return f"""
+WITH tp(type, pid) AS (VALUES {values})
+SELECT pid, type, count(*)::BIGINT AS n_uses FROM tp GROUP BY pid, type
+"""
+
+
 def q_doc_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs on the dup fixture — the
     banded-signature scale path (xxhash64-based, so rows-only check;
@@ -1043,6 +1095,8 @@ def queries():
         "emb_label_centroids": q_emb_centroids,
         "kg_xref_components": q_kg_xref_components,
         "kg_alias_term_counts": q_kg_alias_term_counts,
+        "kg_item_fanin": q_kg_item_fanin,
+        "kg_property_usage": q_kg_property_usage,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "emb_ann_lsh": q_emb_ann_lsh,
         "kg_biaffine_spans": q_kg_biaffine_spans,
@@ -1080,6 +1134,8 @@ def oracle_sql():
         "emb_label_centroids": _SQL_CENTROIDS,
         "kg_xref_components": _sql_xref_components(),
         "kg_alias_term_counts": _sql_alias_term_counts(),
+        "kg_item_fanin": _sql_item_fanin(),
+        "kg_property_usage": _sql_property_usage(),
         # kg_triples / kg_mentions: order-dependent annotator semantics,
         # not ANSI-SQL-expressible → rows-only driver check; correctness
         # is covered by tests/test_pipeline_e2e.py against the oracle.
