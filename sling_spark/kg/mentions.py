@@ -127,7 +127,6 @@ def annotate_document(
             if fps[sb + b] == FP_SKIPPED:
                 continue
             fp = 0
-            span_forms: list[int] = []
             has_alpha_mixed = 0  # 0 unset, else running shared form or -1
             for l in range(1, min(max_span, n - b) + 1):
                 i = sb + b + l - 1
