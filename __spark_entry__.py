@@ -28,7 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the TPC-H Q5-style
     6-table star join (scan → broadcast dim joins → partial-agg shuffle),
     the canonical plan shape the engine is built around."""
-    return contract.q_tpch_q5(spark, "/root/testdata/sf0.001")
+    return contract._with_session_conf(contract.q_tpch_q5)(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1066,8 +1066,24 @@ def q_kg_mentions(spark, sf_dir):
 # ===========================================================================
 
 
+def _with_session_conf(fn):
+    """The driver supplies ITS OWN SparkSession; pin the runtime-settable
+    confs our results depend on (UTC session TZ for epoch math matching
+    DuckDB's naive-UTC, Arrow for the pandas-UDF paths, AQE on)."""
+
+    def wrapped(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries():
-    return {
+    out = {
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q5_region_revenue": q_tpch_q5,
@@ -1103,6 +1119,7 @@ def queries():
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
     }
+    return {name: _with_session_conf(fn) for name, fn in out.items()}
 
 
 def oracle_sql():
