@@ -1,0 +1,75 @@
+"""KB query/serving layer (SURVEY.md §3.3 mapping).
+
+The reference serves the KB three ways: direct frame access
+(``store['Q2534120']``, doc/guide/pyapi.md:20-165), phrase lookup
+(pyphrase.cc), and the knowledge-service REST item fetch + name search
+(sling/nlp/kb/knowledge-service.cc:416-1064). The Spark equivalent is
+``spark.sql`` over the materialized tables; this module registers the
+views and provides the canned lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.tokenize import phrase_fingerprint
+
+
+def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
+    """Register pipeline outputs as SQL views (kb_items, triples,
+    mentions, clusters, phrase_table, ...)."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+
+
+def get_item(spark: SparkSession, item_id: str) -> DataFrame:
+    """store[id] analog."""
+    return spark.sql("SELECT * FROM kb_items WHERE id = ?", args=[item_id])
+
+
+def item_facts(spark: SparkSession, item_id: str) -> DataFrame:
+    """Item statements as rows (knowledge-service item fetch shape)."""
+    return spark.sql(
+        """
+        SELECT subj, pred, obj, qualifiers, source
+        FROM triples WHERE subj = ?
+        """,
+        args=[item_id],
+    )
+
+
+def phrase_lookup(spark: SparkSession, phrase: str) -> DataFrame:
+    """phrasetab.lookup(name) analog: normalize+fingerprint the phrase
+    with the engine tokenizer, join the phrase table."""
+    fp = phrase_fingerprint(phrase)
+    return spark.sql(
+        "SELECT explode(entries) AS e FROM phrase_table WHERE fp = ?", args=[fp]
+    ).select(
+        F.col("e.entity").alias("entity"),
+        F.col("e.count").alias("count"),
+        F.col("e.form").alias("form"),
+    )
+
+
+def name_search(spark: SparkSession, prefix: str, limit: int = 10) -> DataFrame:
+    """Prefix search over the sorted name table (name-table-builder
+    serving path)."""
+    return spark.sql(
+        """
+        SELECT name, explode(entries) AS e FROM name_table
+        WHERE name LIKE ? ORDER BY name LIMIT ?
+        """,
+        args=[prefix.lower() + "%", limit],
+    ).select("name", F.col("e.entity").alias("entity"), F.col("e.count").alias("count"))
+
+
+def subject_triples_sql(spark: SparkSession) -> DataFrame:
+    """Example analytical serving query: per-subject triple counts by
+    source — pure spark.sql over the triple table."""
+    return spark.sql(
+        """
+        SELECT subj, source, count(*) AS n_triples
+        FROM triples GROUP BY subj, source ORDER BY n_triples DESC, subj
+        """
+    )

@@ -1,0 +1,38 @@
+"""KB serving layer: spark.sql over materialized pipeline outputs."""
+
+from __future__ import annotations
+
+from sling_spark import serving
+from sling_spark.kg.assets import seed_dataframes
+from sling_spark.kg.phrase_table import build_name_table, select_aliases
+from sling_spark.kg.pipeline import run_pipeline
+
+
+def test_serving_lookups(spark):
+    res = run_pipeline(spark, n_files=40)
+    seed = seed_dataframes(spark)
+    selected = select_aliases(seed["aliases"])
+    serving.register_views(
+        spark,
+        {
+            "kb_items": res["kb_items"],
+            "triples": res["triples"],
+            "phrase_table": res["phrase_table"],
+            "name_table": build_name_table(selected),
+        },
+    )
+    item = serving.get_item(spark, "Q1").collect()
+    assert len(item) == 1 and item[0]["name"] == "Apache Spark"
+
+    facts = serving.item_facts(spark, "Q1").collect()
+    assert {(r["pred"], r["obj"]) for r in facts} >= {("P2", "Q15"), ("P4", "Q60")}
+
+    hits = serving.phrase_lookup(spark, "spark").collect()
+    assert [h["entity"] for h in hits][0] == "Q1"  # count-ordered
+    assert {h["entity"] for h in hits} == {"Q1", "Q33"}
+
+    names = serving.name_search(spark, "apache s").collect()
+    assert any(r["entity"] == "Q1" for r in names)
+
+    top = serving.subject_triples_sql(spark).collect()
+    assert top[0]["n_triples"] >= top[-1]["n_triples"]
