@@ -15,6 +15,8 @@ Conventions that make the driver's order-insensitive value-hash match:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1011,6 +1013,52 @@ SELECT pid, type, count(*)::BIGINT AS n_uses FROM tp GROUP BY pid, type
 """
 
 
+def _sql_quote(s) -> str:
+    return "NULL" if s is None else "'" + str(s).replace("'", "''") + "'"
+
+
+@lru_cache(maxsize=1)
+def _kg_oracle_40():
+    """The independent pure-Python pipeline oracle on the deterministic
+    40-file corpus — the gold for the kg_triples / kg_mentions VALUES
+    oracles (same oracle the e2e P/R suite uses at 120 files)."""
+    from .oracle import kg_oracle
+
+    return kg_oracle.run(40)
+
+
+def _sql_kg_triples() -> str:
+    rows = sorted(
+        {(t["subj"], t["pred"], t["obj"], t["source"]) for t in _kg_oracle_40()["triples"]}
+    )
+    values = ", ".join(
+        f"({_sql_quote(s)}, {_sql_quote(p)}, {_sql_quote(o)}, {_sql_quote(src)})"
+        for s, p, o, src in rows
+    )
+    return f"SELECT subj, pred, obj, source FROM (VALUES {values}) AS t(subj, pred, obj, source)"
+
+
+def _sql_kg_mentions() -> str:
+    import math
+
+    rows = sorted(
+        {
+            (m["repo"], m["path"], m["begin"], m["end"], m["entity"],
+             math.floor(m["score"] * 1000000))
+            for m in _kg_oracle_40()["mentions"]
+        }
+    )
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {b}, {e}, {_sql_quote(ent)}, {sm})"
+        for r, p, b, e, ent, sm in rows
+    )
+    return f"""
+SELECT repo, path, begin::INT AS begin, "end"::INT AS "end", entity,
+       score_micro::BIGINT AS score_micro
+FROM (VALUES {values}) AS t(repo, path, begin, "end", entity, score_micro)
+"""
+
+
 def q_doc_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs on the dup fixture — the
     banded-signature scale path (xxhash64-based, so rows-only check;
@@ -1046,19 +1094,35 @@ def q_kg_biaffine_spans(spark, sf_dir):
 
 
 def q_kg_triples(spark, sf_dir):
+    """The flagship north-rule output: distinct (subj, pred, obj, source)
+    triples from the full KG pipeline on the deterministic 40-file corpus,
+    value-hash checked against the independent pure-Python oracle
+    (sling_spark.oracle.kg_oracle) rendered as a DuckDB VALUES table."""
     from .kg.pipeline import run_pipeline
 
-    return run_pipeline(spark, n_files=40)["triples"].select(
-        "subj", "pred", "obj", "source"
+    return (
+        run_pipeline(spark, n_files=40)["triples"]
+        .select("subj", "pred", "obj", "source")
+        .distinct()
     )
 
 
 def q_kg_mentions(spark, sf_dir):
+    """Resolved mention spans from the KG pipeline (40-file corpus).
+    Scores are bit-exact between the Spark pipeline and the Python oracle
+    (shared scalar modules), so floor(score*1e6) is deterministic on both
+    sides — no float-formatting risk in the value hash."""
     from .kg.pipeline import run_pipeline
 
-    return run_pipeline(spark, n_files=40)["mentions"].select(
-        "repo", "path", "begin", "end", "entity", F.round("score", 6).alias("score")
-    )
+    m = run_pipeline(spark, n_files=40)["mentions"]
+    return m.select(
+        "repo",
+        "path",
+        "begin",
+        "end",
+        "entity",
+        F.floor(F.col("score") * 1000000).cast("long").alias("score_micro"),
+    ).distinct()
 
 
 # ===========================================================================
@@ -1153,7 +1217,11 @@ def oracle_sql():
         "kg_alias_term_counts": _sql_alias_term_counts(),
         "kg_item_fanin": _sql_item_fanin(),
         "kg_property_usage": _sql_property_usage(),
-        # kg_triples / kg_mentions: order-dependent annotator semantics,
-        # not ANSI-SQL-expressible → rows-only driver check; correctness
-        # is covered by tests/test_pipeline_e2e.py against the oracle.
+        # kg_triples / kg_mentions: the annotator semantics are not
+        # ANSI-SQL-expressible, so the independent pure-Python oracle
+        # (the same one the e2e P/R suite trusts) is rendered as a
+        # DuckDB VALUES table — full value-hash verification of the
+        # flagship pipeline outputs.
+        "kg_triples": _sql_kg_triples(),
+        "kg_mentions": _sql_kg_mentions(),
     }

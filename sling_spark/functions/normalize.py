@@ -33,14 +33,25 @@ def normalize_phrase(text: str) -> str:
     """Apply "lcn" normalization: case-fold, strip diacritics, drop name
     punctuation, collapse whitespace runs to single spaces. Full Unicode
     case folding (casefold, not lower) so e.g. 'ß' and 'SS' normalize
-    identically — the reference's Unicode-aware lowercasing semantics."""
-    text = text.casefold()
-    # diacritic strip: NFKD decompose, drop combining marks
-    text = "".join(
-        ch for ch in unicodedata.normalize("NFKD", text) if not unicodedata.combining(ch)
-    )
-    text = "".join(ch for ch in text if ch not in _NAME_PUNCT)
-    return " ".join(text.split())
+    identically — the reference's Unicode-aware lowercasing semantics.
+
+    Iterated to a fixpoint: NFKD compatibility decomposition can emit
+    cased characters (e.g. U+1D756 MATHEMATICAL SANS-SERIF BOLD CAPITAL
+    ALPHA decomposes to capital Α *after* casefold ran), so a single
+    fold→decompose pass is not idempotent on exotic Unicode."""
+    prev = None
+    while text != prev:
+        prev = text
+        text = text.casefold()
+        # diacritic strip: NFKD decompose, drop combining marks
+        text = "".join(
+            ch
+            for ch in unicodedata.normalize("NFKD", text)
+            if not unicodedata.combining(ch)
+        )
+        text = "".join(ch for ch in text if ch not in _NAME_PUNCT)
+        text = " ".join(text.split())
+    return text
 
 
 def _case_form_uncached(word: str) -> int:
