@@ -725,9 +725,9 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
 """
 
 
-def q_doc_minhash(spark, sf_dir):
-    """Portable 8-permutation minhash signature per document."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _portable_minhash_df(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """Portable minhash signature (md5-based hash + affine permutations,
+    identical expression tree available in DuckDB) over (doc_id, text)."""
     toks = F.split(F.lower(F.col("text")), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
@@ -735,7 +735,7 @@ def q_doc_minhash(spark, sf_dir):
     h31 = _portable_hash(F.col("shingle")) % H31
     base = sh.select("doc_id", h31.alias("h"))
     aggs = []
-    for i in range(8):
+    for i in range(num_hashes):
         a, b = _minhash_perm(i)
         aggs.append(
             F.min((F.col("h") * a + b) % MERSENNE61).alias(f"m{i}")
@@ -743,24 +743,34 @@ def q_doc_minhash(spark, sf_dir):
     return base.groupBy("doc_id").agg(*aggs)
 
 
-def _sql_minhash() -> str:
+def q_doc_minhash(spark, sf_dir):
+    """Portable 8-permutation minhash signature per document."""
+    return _portable_minhash_df(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_minhash_sig(src: str, num_hashes: int = 8) -> str:
+    """Signature CTE body shared by the minhash and LSH-candidate oracles."""
     h = _SQL_HASH.format(x="shingle")
     mins = ", ".join(
         f"min((({h} % {H31}) * {_minhash_perm(i)[0]} + {_minhash_perm(i)[1]}) % {MERSENNE61}) AS m{i}"
-        for i in range(8)
+        for i in range(num_hashes)
     )
     return f"""
 WITH toklists AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM documents
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(l) - 2, 1) + 1),
                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
   FROM toklists
-)
-SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
 """
+
+
+def _sql_minhash() -> str:
+    return _sql_minhash_sig("documents") + "SELECT * FROM sig"
 
 
 def q_doc_simhash(spark, sf_dir):
@@ -827,6 +837,50 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the training-data dedup
+    mandate's embedding method) on a planted fixture: embeddings ∪ scaled
+    copies (x2, cosine exactly 1) ∪ shifted copies (+0.05/dim, cosine
+    ≈0.92-0.94) — threshold 0.9 vs max background cosine 0.51. Exact
+    all-pairs twin here (SQL-verifiable); the SRP-LSH prefilter path of
+    the same operator is recall-tested in pytest."""
+    from .operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    scaled = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+    )
+    shifted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + 0.05).alias("embedding"),
+    )
+    fixture = emb.unionByName(scaled).unionByName(shifted)
+    return embedding_near_dup(fixture, threshold=0.9, method="exact")
+
+
+_SQL_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2)
+  FROM embeddings WHERE vec_id < 15
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(embedding::DOUBLE[], x -> x + 0.05)
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
 """
 
 
@@ -1060,37 +1114,237 @@ FROM (VALUES {values}) AS t(repo, path, begin, "end", entity, score_micro)
 
 
 def q_doc_lsh_candidates(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs on the dup fixture — the
-    banded-signature scale path (xxhash64-based, so rows-only check;
-    the exact-Jaccard twin doc_ngram_jaccard carries the SQL oracle)."""
-    from .operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+    """MinHash+LSH near-dup candidate pairs on the dup fixture, banded
+    4 bands x 2 rows over the PORTABLE 8-perm minhash — the full LSH
+    semantics (bucket collision = candidate) with an exact DuckDB twin.
+    The xxhash64 production operator (operators/dedup.py) keeps its own
+    recall tests in pytest; this contract query verifies the banding
+    algebra end-to-end by value hash."""
+    sig = _portable_minhash_df(_docs_with_dups(spark, sf_dir))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"m{2 * b}").alias("h1"),
+                        F.col(f"m{2 * b + 1}").alias("h2"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band", "h1", "h2"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
-    corpus = _docs_with_dups(spark, sf_dir)
-    sh = shingles(corpus, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, num_hashes=32)
-    return lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+
+def _sql_lsh_candidates() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2 * b} AS h1, m{2 * b + 1} AS h2 FROM sig"
+        for b in range(4)
+    )
+    return (
+        _sql_minhash_sig(f"({_SQL_DOCS_DUPS})")
+        + f""", bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+WHERE a.doc_id < b.doc_id
+"""
+    )
+
+
+_SRP_TABLES, _SRP_PLANES, _SRP_DIM = 4, 6, 64
+
+
+@lru_cache(maxsize=1)
+def _srp_weights() -> dict:
+    """Deterministic integer hyperplanes in [-3, 3], derived from md5 so
+    Python (here), Spark literals, and the DuckDB oracle agree exactly."""
+    import hashlib
+
+    return {
+        (t, p): [
+            int(hashlib.md5(f"srp{t}_{p}_{d}".encode()).hexdigest()[:15], 16) % 7 - 3
+            for d in range(_SRP_DIM)
+        ]
+        for t in range(_SRP_TABLES)
+        for p in range(_SRP_PLANES)
+    }
 
 
 def q_emb_ann_lsh(spark, sf_dir):
-    """Approximate ANN via multi-table signed-random-projection buckets
-    (deterministic hyperplanes; rows-only — recall<1 by construction,
-    cross-checked against emb_knn_bruteforce in tests)."""
-    from .operators.similarity import lsh_topk
-
+    """Approximate ANN via multi-table signed-random-projection buckets,
+    integer-quantized (floor(x*1000)) so every projection sign and the
+    re-rank cosine are EXACT integer/IEEE arithmetic — portable to the
+    DuckDB oracle bit-for-bit. Plan shape = production lsh_topk
+    (operators/similarity.py): sketch, (table,bucket) bucket-join with
+    broadcast queries, exact cosine re-rank, per-query top-k window. The
+    float/xxhash64 production operator keeps its recall test in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries, k=5, planes=6, tables=8)
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    base = emb.select("vec_id", qv.alias("qv"))
+    W = _srp_weights()
+    bucket_cols = []
+    for t in range(_SRP_TABLES):
+        bucket = F.lit(0)
+        for p in range(_SRP_PLANES):
+            warr = F.array(*[F.lit(w) for w in W[(t, p)]])
+            dot = F.aggregate(
+                F.zip_with(F.col("qv"), warr, lambda x, w: x * w),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket_cols.append(bucket.cast("long").alias(f"b{t}"))
+    bk = base.select("vec_id", "qv", *bucket_cols)
+    bands = bk.select(
+        "vec_id",
+        "qv",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(_SRP_TABLES)])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    q = bands.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qvq"), "tbl", "bucket"
+    )
+    cand = (
+        bands.join(F.broadcast(q), on=["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvq", F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cv"))
+        .distinct()
+    )
+
+    def idot(a_col, b_col):
+        return F.aggregate(
+            F.zip_with(a_col, b_col, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            idot(F.col("qvq"), F.col("cv"))
+            / (F.sqrt(idot(F.col("qvq"), F.col("qvq"))) * F.sqrt(idot(F.col("cv"), F.col("cv")))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sql_emb_ann_lsh() -> str:
+    W = _srp_weights()
+
+    def dot(qcol, t, p):
+        warr = "[" + ", ".join(str(w) for w in W[(t, p)]) + "]::DOUBLE[]"
+        return f"list_dot_product({qcol}::DOUBLE[], {warr})"
+
+    def bucket(qcol, t):
+        return (
+            "("
+            + " + ".join(
+                f"(CASE WHEN {dot(qcol, t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+                for p in range(_SRP_PLANES)
+            )
+            + ")::BIGINT"
+        )
+
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, qv, {t} AS tbl, {bucket('qv', t)} AS bucket FROM base"
+        for t in range(_SRP_TABLES)
+    )
+    cos = (
+        "round(list_dot_product(qvq::DOUBLE[], cv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(qvq::DOUBLE[], qvq::DOUBLE[])) * "
+        "sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000)::BIGINT) AS qv
+  FROM embeddings
+),
+bands AS ({bands}),
+q AS (SELECT vec_id AS query_id, qv AS qvq, tbl, bucket FROM bands WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT query_id, qvq, b.vec_id AS neighbor_id, b.qv AS cv
+  FROM q JOIN bands b ON q.tbl = b.tbl AND q.bucket = b.bucket
+  WHERE b.vec_id <> query_id
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cosine FROM cand)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def q_kg_biaffine_spans(spark, sf_dir):
     """Batched biaffine span scoring over the synthetic corpus (the
-    Myelin-inner-loop replacement, SURVEY.md §2.8) — rows-only."""
+    Myelin-inner-loop replacement, SURVEY.md §2.8). Deterministic seeded
+    weights + fingerprint pseudo-embeddings → the driver-side NumPy twin
+    in _sql_biaffine() reproduces every score bit-for-bit."""
     from .kg.biaffine import score_spans
     from .kg.documents import build_documents
     from .sources.corpus import corpus_df
 
     docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
     return score_spans(docs, threshold=1.5)
+
+
+def _sql_biaffine() -> str:
+    """Run the identical scoring math driver-side (same NumPy, same seeded
+    weights, same shared tokenizer) and render the expected spans as a
+    VALUES table."""
+    import numpy as np
+
+    from .kg.biaffine import BiaffineScorer
+    from .oracle.kg_oracle import latest_corpus
+
+    scorer = BiaffineScorer()
+    rows = []
+    for d in latest_corpus(20):
+        toks = d["tokens"]
+        brks = [t.brk for t in toks]
+        bounds, start = [], 0
+        for i in range(1, len(brks)):
+            if brks[i] >= 2:
+                bounds.append((start, i))
+                start = i
+        if brks:
+            bounds.append((start, len(brks)))
+        for s_idx, (sb, se) in enumerate(bounds):
+            fps = np.array([t.fp for t in toks[sb:se]], dtype=np.uint64)
+            for b, e, lab, score in scorer.top_spans(fps, 1.5):
+                rows.append(
+                    (d["repo"], d["path"], d["commit"], s_idx, sb + b, sb + e,
+                     lab, round(score, 6))
+                )
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {s}, {b}, {e}, {lab}, {score!r})"
+        for r, p, c, s, b, e, lab, score in sorted(rows)
+    )
+    return f"""
+SELECT repo, path, commit, sentence::INT AS sentence, begin::INT AS begin,
+       "end"::INT AS "end", label::INT AS label, score::DOUBLE AS score
+FROM (VALUES {values}) AS t(repo, path, commit, sentence, begin, "end", label, score)
+"""
 
 
 def q_kg_triples(spark, sf_dir):
@@ -1172,6 +1426,7 @@ def queries():
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "emb_knn_bruteforce": q_emb_knn,
+        "emb_near_dup": q_emb_near_dup,
         "emb_label_centroids": q_emb_centroids,
         "kg_xref_components": q_kg_xref_components,
         "kg_alias_term_counts": q_kg_alias_term_counts,
@@ -1212,6 +1467,7 @@ def oracle_sql():
         "doc_minhash": _sql_minhash(),
         "doc_simhash": _sql_simhash(),
         "emb_knn_bruteforce": _SQL_KNN,
+        "emb_near_dup": _SQL_NEAR_DUP,
         "emb_label_centroids": _SQL_CENTROIDS,
         "kg_xref_components": _sql_xref_components(),
         "kg_alias_term_counts": _sql_alias_term_counts(),
@@ -1224,4 +1480,7 @@ def oracle_sql():
         # flagship pipeline outputs.
         "kg_triples": _sql_kg_triples(),
         "kg_mentions": _sql_kg_mentions(),
+        "doc_lsh_candidates": _sql_lsh_candidates(),
+        "emb_ann_lsh": _sql_emb_ann_lsh(),
+        "kg_biaffine_spans": _sql_biaffine(),
     }

@@ -164,3 +164,53 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    method: str = "lsh",
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and round(cosine, 6) >= threshold.
+
+    - ``method="lsh"`` (the 100 TB path): SRP sign-sketch per vector,
+      candidate pairs from a self-join keyed on (table, bucket) — the
+      shuffle moves only bucket collisions, never the O(N^2) cross
+      product — then exact cosine verify on the candidates (the standard
+      approximate-filter → exact-verify two-phase near-dup pipeline, same
+      shape as minhash_lsh + jaccard_pairs above).
+    - ``method="exact"``: all-pairs self-join; correct for bounded
+      inputs and the verification twin for recall tests.
+    """
+    from .similarity import cosine, srp_sketch
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if method == "exact":
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sk = srp_sketch(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            "v", planes, tables,
+        ).select("id", "v", F.posexplode("srp_buckets").alias("tbl", "bucket"))
+        cand = (
+            sk.alias("x")
+            .join(sk.alias("y"), on=["tbl", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"), F.col("x.v").alias("va"),
+                F.col("y.id").alias("id_b"), F.col("y.v").alias("vb"),
+            )
+            .distinct()
+        )
+        pairs = cand
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)

@@ -158,3 +158,31 @@ def test_lang_id_accuracy(spark):
     agree = pred.filter(F.col("pred_lang") == F.col("lang")).count()
     total = pred.count()
     assert total > 0
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark):
+    """LSH prefilter path: subset of the exact all-pairs result, and full
+    recall on planted scale-copies (identical SRP sign sketch)."""
+    from sling_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    scaled = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+    )
+    fixture = emb.unionByName(scaled)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        embedding_near_dup(fixture, threshold=0.9, method="exact").collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in
+        embedding_near_dup(fixture, threshold=0.9, method="lsh").collect()
+    }
+    planted = {(i, i + 100000) for i in range(10)}
+    assert approx <= exact
+    assert planted <= exact
+    # scaled copies share every projection sign -> always collide in LSH
+    assert planted <= approx
