@@ -118,6 +118,10 @@ def annotate_document(
     mentioned: set[str] = set()
     mentions: list[dict] = []
     relations: list[dict] = []
+    # per-token alpha flags once (each token is otherwise re-scanned up to
+    # max_span times in the span loop — ~30% of annotation CPU, profiled)
+    has_alpha = [any(c.isalpha() for c in w) for w in words]
+    ordered_facts: dict[str, list] = {}  # per-doc cache of sorted statements
 
     for s_idx, (sb, se) in enumerate(_sentence_bounds(brks)):
         n = se - sb
@@ -132,7 +136,7 @@ def annotate_document(
                 i = sb + b + l - 1
                 tfp = fps[i]
                 w = words[i]
-                if any(c.isalpha() for c in w):
+                if has_alpha[i]:
                     f = forms[i]
                     if has_alpha_mixed == 0:
                         has_alpha_mixed = f if f != CASE_NONE else -1
@@ -254,13 +258,16 @@ def annotate_document(
         if subjects and sent_mentions:
             used: set[int] = set()
             for s_begin, s_end, s_entity in subjects:
-                facts = statements.get(s_entity)
-                if not facts:
+                ordered = ordered_facts.get(s_entity)
+                if ordered is None:
+                    facts = statements.get(s_entity)
+                    ordered = sorted(
+                        {f for f in facts if f[0] not in BLOCKED_PROPERTIES},
+                        key=lambda f: (prio.get(f[0], 99), f[0], f[1]),
+                    ) if facts else []
+                    ordered_facts[s_entity] = ordered
+                if not ordered:
                     continue
-                ordered = sorted(
-                    {f for f in facts if f[0] not in BLOCKED_PROPERTIES},
-                    key=lambda f: (prio.get(f[0], 99), f[0], f[1]),
-                )
                 for pid, obj in ordered:
                     cands = [
                         ob

@@ -78,3 +78,78 @@ def test_phrase_fingerprint_matches_span_fp():
     js = [t for t in toks if t.word == "js"][0]
     assert phrase_fingerprint("Node.js") == fingerprint_cat(node.fp, js.fp)
     assert phrase_fingerprint("Apache Spark") == phrase_fp(["apache", "spark"])
+
+
+def test_parse_number_reference_semantics():
+    from sling_spark.functions.numbers import (
+        is_year,
+        parse_number,
+        parse_number_format,
+        quantity,
+    )
+
+    # separator-aware grouping (mentions.cc:590-655)
+    assert parse_number("1,234,567", ",", ".") == 1234567
+    assert parse_number("12,34,567", ",", ".") == 1234567  # Indian 2-digit lakh groups
+    assert parse_number("1,23", ",", ".") is None           # last group must be 3
+    assert parse_number("1,2345", ",", ".") is None
+    assert parse_number("-42", ",", ".") == -42
+    assert parse_number("+3.5", ",", ".") == 3.5
+    # digit-accumulation float math, faithful to the reference's parser
+    # (value*10+digit, scale/=10) — 1 ulp off the correctly-rounded parse
+    assert abs(parse_number("3.14159", ",", ".") - 3.14159) < 1e-12
+    assert parse_number("1.234", ".", ",") == 1234          # STANDARD: dot groups
+    assert parse_number("", ",", ".") is None
+    assert parse_number("abc", ",", ".") is None
+    assert parse_number("12 345", " ", ".", " ") == 12345   # NORWEGIAN
+    # decimal milli-groups must be exactly 3
+    assert abs(parse_number("1.234 567", " ", ".", " ") - 1.234567) < 1e-12
+    assert parse_number("1.23 45", " ", ".", " ") is None
+    # int vs float handle semantics
+    assert isinstance(parse_number("7", ",", "."), int)
+    assert isinstance(parse_number("7.0", ",", "."), float)
+    assert isinstance(parse_number(str(1 << 40), ",", "."), float)  # beyond int handle
+
+    # format fallback (mentions.cc:657-675)
+    assert parse_number_format("1.234", "IMPERIAL") == 1.234
+    assert parse_number_format("1.234", "STANDARD") == 1234
+    assert parse_number_format("1,234", "IMPERIAL") == 1234
+    assert parse_number_format("1,5", "IMPERIAL") == 1.5    # falls through to alt seps
+
+    # year rule (mentions.cc:570-585)
+    assert is_year("1999") and is_year("1582") and is_year("2038")
+    assert not is_year("1581") and not is_year("2039") and not is_year("999")
+
+    units = {"kg": "Q11570", "$": "Q4917"}
+    assert quantity("12 kg", units) == (12, "Q11570")
+    assert quantity("$ 9.99", units) == (9.99, "Q4917")
+    assert quantity("12 lightyears", units) is None
+
+
+def test_number_expr_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from sling_spark.functions.numbers import number_expr, parse_number_format
+
+    samples = [
+        "1,234,567", "12,34,567", "1,23", "42", "-42", "+3.5", "3.14159",
+        "1.234", "1.2345", "7.0", "0", "007", "1,2345", "abc", "1.2.3",
+        "12.", "-0.5", "1,234.5", "1.234,5",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    for fmt in ("IMPERIAL", "STANDARD"):
+        got = {
+            r["s"]: r["v"]
+            for r in df.select("s", number_expr(F.col("s"), fmt).alias("v")).collect()
+        }
+        for s in samples:
+            want = parse_number_format(s, fmt)
+            if want is None:
+                assert got[s] is None, (fmt, s, got[s])
+            else:
+                # the Catalyst twin casts the cleaned string (correctly
+                # rounded); the scalar accumulates digits like the
+                # reference — equal up to 1 ulp
+                assert abs(got[s] - float(want)) < 1e-9 * max(1.0, abs(got[s])), (
+                    fmt, s, got[s], want,
+                )
