@@ -62,6 +62,46 @@ def latest_versions(corpus: DataFrame) -> DataFrame:
     )
 
 
+def latest_with_sha(corpus: DataFrame) -> DataFrame:
+    """Raw document layout: latest version per (repo, path) + content
+    sha256 — PURE Catalyst (no Python), so materializing it never ships
+    content through Arrow. The pipeline reads this once for the stats
+    pass and once for annotation; tokenization happens inside those
+    consumers (content crosses into Python, never back out)."""
+    return latest_versions(corpus).withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+
+
+DOC_STATS_SCHEMA = (
+    "repo string, path string, commit string, n_tokens int, fp_unique array<long>"
+)
+
+
+def doc_stats(documents_raw: DataFrame) -> DataFrame:
+    """Per-document token stats from ONE tokenize pass: content flows
+    INTO Python only; the output rows are two orders of magnitude
+    smaller than the corpus (the vocabulary-mapreduce input shape).
+    Feeds idf_table (fp_unique) and extraction metrics (n_tokens)."""
+
+    def tok(batches):
+        for pdf in batches:
+            data = {"repo": [], "path": [], "commit": [], "n_tokens": [],
+                    "fp_unique": []}
+            for row in pdf.itertuples(index=False):
+                toks = tokenize(row.content)
+                data["repo"].append(row.repo)
+                data["path"].append(row.path)
+                data["commit"].append(row.commit)
+                data["n_tokens"].append(len(toks))
+                data["fp_unique"].append(sorted({t.fp for t in toks if t.fp > 1}))
+            yield pd.DataFrame(data, columns=list(data))
+
+    return documents_raw.select("repo", "path", "commit", "content").mapInPandas(
+        tok, schema=DOC_STATS_SCHEMA
+    )
+
+
 def build_documents(corpus: DataFrame, layout: str = "content") -> DataFrame:
     """Tokenize the latest version of every file.
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.corpus import corpus_df
 from .assets import build_assets, seed_dataframes
-from .documents import build_documents
+from .documents import doc_stats, latest_with_sha
 from .mentions import annotate, mentions_of, relations_of
 from .reconcile import kb_triples, merge_items, reconcile_items
 from .relations import doc_triples
@@ -59,15 +59,23 @@ def run_pipeline(
         corpus = corpus_df(spark, n_files, partitions=partitions)
     corpus = _materialize(corpus, spark, checkpoint_dir, "corpus")
 
+    # Raw layout (pure Catalyst: latest-version + sha) — content never
+    # crosses Arrow OUT of Python; the tokenizing consumers below read it.
     documents = _materialize(
-        build_documents(corpus), spark, checkpoint_dir, "documents"
+        latest_with_sha(corpus), spark, checkpoint_dir, "documents"
     )
     if checkpoint_dir is None:
-        # documents feeds the IDF build (an action) AND mention detection;
-        # without a parquet checkpoint, cache to avoid re-tokenizing.
+        # documents feeds the stats pass AND mention detection; without a
+        # parquet checkpoint, cache to avoid recomputing latest-versions.
         documents = documents.persist()
 
-    assets_bc, phrase_table = build_assets(spark, documents, seed)
+    # One tokenize pass → per-doc stats (vocabulary-mapreduce shape):
+    # feeds IDF (fp_unique) and extraction metrics (n_tokens).
+    stats = _materialize(doc_stats(documents), spark, checkpoint_dir, "doc_stats")
+    if checkpoint_dir is None:
+        stats = stats.persist()
+
+    assets_bc, phrase_table = build_assets(spark, stats, seed)
 
     # ONE annotation pass emits mention + relation rows together (the
     # annotator-chain shape; relations are order-dependent within a
@@ -112,6 +120,7 @@ def run_pipeline(
     return {
         "corpus": corpus,
         "documents": documents,
+        "doc_stats": stats,
         "phrase_table": phrase_table,
         "mentions": mentions,
         "relations": relations,

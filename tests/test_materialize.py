@@ -24,7 +24,7 @@ def test_materialize_and_metrics(spark, tmp_path):
     assert 0 < kb_only.count() < back.count()
     assert "subj_bucket" in back.columns
 
-    metrics = extraction_metrics(res["documents"], res["mentions"], res["relations"])
+    metrics = extraction_metrics(res["doc_stats"], res["mentions"], res["relations"])
     rows = {r["repo"]: r for r in metrics.collect()}
     assert sum(r["n_docs"] for r in rows.values()) == 40
     inv = counter_invariants(metrics)

@@ -67,7 +67,7 @@ def main() -> None:
     )
     write_triples(res["triples"], f"{args.output}/triples")
     res["kb_items"].write.mode("overwrite").parquet(f"{args.output}/kb_items")
-    metrics = extraction_metrics(res["documents"], res["mentions"], res["relations"])
+    metrics = extraction_metrics(res["doc_stats"], res["mentions"], res["relations"])
     metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
 
     counters = counter_invariants(metrics)
