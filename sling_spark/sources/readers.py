@@ -97,3 +97,89 @@ def corpus_from_table(df: DataFrame) -> DataFrame:
     return df.select(*required).withColumn(
         "content_sha", F.sha2(F.col("content"), 256)
     )
+
+
+WARC_SCHEMA = (
+    "warc_type string, record_id string, target_uri string, warc_date string, "
+    "content_type string, content_length long, payload binary, payload_sha string, "
+    "source_file string, record_index int"
+)
+
+
+def parse_warc_records(data: bytes):
+    """Yield WARC 1.0/1.1 records from raw file bytes (plain or
+    per-record-gzipped multistream, the Common Crawl layout). Pure
+    scalar parser — reference semantics: sling/task/warc-reader
+    (record header block, Content-Length body, CRLF CRLF terminator)."""
+    import gzip
+    import io
+
+    if data[:2] == b"\x1f\x8b":  # gzip multistream: one member per record
+        out = io.BytesIO()
+        with io.BytesIO(data) as raw:
+            while True:
+                start = raw.tell()
+                if start >= len(data):
+                    break
+                try:
+                    with gzip.GzipFile(fileobj=raw) as gz:
+                        out.write(gz.read())
+                except (OSError, EOFError):
+                    break
+                if raw.tell() == start:
+                    break
+        data = out.getvalue()
+
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not data[pos : pos + 5] == b"WARC/":
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end == -1:
+            break
+        headers = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin1")] = v.strip().decode("latin1")
+        length = int(headers.get("content-length", 0))
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        yield headers, payload
+        pos = body_start + length
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Distributed WARC ingest: binaryFile scan (one task per archive —
+    the standard Spark Common-Crawl pattern; archives are the unit of
+    parallelism) → pure-Python record split inside mapInPandas → one row
+    per record with header fields + payload + sha lineage."""
+    import hashlib
+
+    import pandas as pd
+
+    files = read_binary_corpus(spark, path, glob=glob)
+
+    def split(batches):
+        cols = ["warc_type", "record_id", "target_uri", "warc_date",
+                "content_type", "content_length", "payload", "payload_sha",
+                "source_file", "record_index"]
+        for pdf in batches:
+            data = {c: [] for c in cols}
+            for row in pdf.itertuples(index=False):
+                for i, (h, payload) in enumerate(parse_warc_records(bytes(row.content))):
+                    data["warc_type"].append(h.get("warc-type"))
+                    data["record_id"].append(h.get("warc-record-id"))
+                    data["target_uri"].append(h.get("warc-target-uri"))
+                    data["warc_date"].append(h.get("warc-date"))
+                    data["content_type"].append(h.get("content-type"))
+                    data["content_length"].append(len(payload))
+                    data["payload"].append(payload)
+                    data["payload_sha"].append(hashlib.sha256(payload).hexdigest())
+                    data["source_file"].append(row.uri)
+                    data["record_index"].append(i)
+            yield pd.DataFrame(data, columns=cols)
+
+    return files.select("uri", "content").mapInPandas(split, schema=WARC_SCHEMA)

@@ -153,3 +153,43 @@ def test_number_expr_matches_scalar(spark):
                 assert abs(got[s] - float(want)) < 1e-9 * max(1.0, abs(got[s])), (
                     fmt, s, got[s], want,
                 )
+
+
+def test_lex_render_and_parse_roundtrip():
+    from sling_spark.functions.lex import parse_lex, to_lex
+
+    words = ["Apache", "Spark", "uses", "the", "JVM", "&", "[arrays]", "."]
+    brks = [0, 1, 1, 1, 1, 1, 1, 1]
+    spans = [(0, 2, "Q1"), (4, 5, "Q2")]
+    lex = to_lex(words, brks, spans)
+    assert lex == "[Apache Spark|Q1] uses the [JVM|Q2] &#38; &#91;arrays&#93; ."
+    text, parsed = parse_lex(lex)
+    assert text == "Apache Spark uses the JVM & [arrays] ."
+    # spans are byte offsets into the plain text
+    assert [(text[b:e], ref) for b, e, ref in parsed] == [
+        ("Apache Spark", "Q1"),
+        ("JVM", "Q2"),
+    ]
+    # break-level separators: paragraph and sentence
+    assert to_lex(["a", "b", "c"], [0, 2, 3], []) == "a  b\n\nc"
+    # token rewrites
+    assert to_lex(["``", "hi", "''"], [0, 1, 1], []) == "“ hi ”"
+
+
+def test_render_lex_over_pipeline(spark):
+    from sling_spark.functions.lex import parse_lex, render_lex
+    from sling_spark.kg.pipeline import run_pipeline
+
+    res = run_pipeline(spark, n_files=20)
+    lex_df = render_lex(res["documents"], res["mentions"])
+    rows = lex_df.collect()
+    assert len(rows) == res["documents"].count()
+    # every document with mentions renders brackets that parse back
+    n_mentions = res["mentions"].count()
+    total_spans = 0
+    for r in rows:
+        _text, spans = parse_lex(r["lex"])
+        total_spans += len(spans)
+        for _b, _e, ref in spans:
+            assert ref.startswith(("Q", "P")) or ref == ""
+    assert total_spans == n_mentions

@@ -186,3 +186,40 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     assert planted <= exact
     # scaled copies share every projection sign -> always collide in LSH
     assert planted <= approx
+
+
+def test_warc_reader(spark, tmp_path):
+    """Synthesized WARC fixtures: plain multi-record + per-record-gzip
+    multistream (the Common Crawl layout)."""
+    import gzip
+
+    from sling_spark.sources.readers import read_warc
+
+    def record(uri, body, rtype=b"response"):
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype + b"\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + uri + b">\r\n"
+            b"WARC-Target-URI: https://example.com/" + uri + b"\r\n"
+            b"WARC-Date: 2026-08-16T00:00:00Z\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        return head + body + b"\r\n\r\n"
+
+    plain = record(b"a", b"hello world") + record(b"b", b"second\r\nbody", b"metadata")
+    (tmp_path / "plain.warc").write_bytes(plain)
+    gzipped = gzip.compress(record(b"c", b"zipped one")) + gzip.compress(
+        record(b"d", b"zipped two")
+    )
+    (tmp_path / "multi.warc.gz").write_bytes(gzipped)
+
+    rows = {r["target_uri"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(rows) == {f"https://example.com/{u}" for u in "abcd"}
+    assert bytes(rows["https://example.com/a"]["payload"]) == b"hello world"
+    assert bytes(rows["https://example.com/b"]["payload"]) == b"second\r\nbody"
+    assert rows["https://example.com/b"]["warc_type"] == "metadata"
+    assert bytes(rows["https://example.com/d"]["payload"]) == b"zipped two"
+    assert rows["https://example.com/c"]["record_index"] == 0
+    import hashlib
+    assert rows["https://example.com/a"]["payload_sha"] == hashlib.sha256(b"hello world").hexdigest()
