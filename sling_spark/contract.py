@@ -948,9 +948,12 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 
 def q_kg_alias_term_counts(spark, sf_dir):
     """Dictionary term counting: total occurrences of each single-word KB
-    alias across documents.text (the phrase-lookup primitive as a pure
-    column-expression plan: broadcast dictionary × corpus scan)."""
+    alias across the synthetic corpus (the phrase-lookup primitive as a
+    pure column-expression plan: broadcast dictionary × corpus scan).
+    All 49 aliases occur (228 hits for 'apache' at 150 files) — a dense
+    check, vs ~1 alias appearing in the TPC-H documents table."""
     from .sources import kb
+    from .sources.corpus import corpus_df
 
     aliases = sorted(
         {
@@ -959,8 +962,8 @@ def q_kg_alias_term_counts(spark, sf_dir):
             if " " not in r["alias"] and r["alias"].isalpha()
         }
     )
-    docs = _t(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    docs = corpus_df(spark, 150, partitions=8)
+    padded = F.concat(F.lit(" "), F.lower(F.col("content")), F.lit(" "))
     # per-doc counts array via transform over the literal dictionary —
     # one pass over each text, no row duplication through a join
     alias_arr = F.array(*[F.lit(a) for a in aliases])
@@ -989,6 +992,7 @@ def q_kg_alias_term_counts(spark, sf_dir):
 
 def _sql_alias_term_counts() -> str:
     from .sources import kb
+    from .sources.corpus import corpus_rows
 
     aliases = sorted(
         {
@@ -998,9 +1002,11 @@ def _sql_alias_term_counts() -> str:
         }
     )
     values = ", ".join(f"('{a}')" for a in aliases)
+    contents = ", ".join("(" + _sql_quote(r["content"]) + ")" for r in corpus_rows(150))
     return f"""
 WITH al(alias) AS (VALUES {values}),
-docs AS (SELECT ' ' || lower(text) || ' ' AS padded FROM documents)
+docs AS (SELECT ' ' || lower(content) || ' ' AS padded
+         FROM (VALUES {contents}) AS c(content))
 SELECT alias,
        sum((length(padded) - length(replace(padded, ' ' || alias || ' ', '')))
            / (length(alias) + 2))::BIGINT AS n_occurrences
@@ -1379,6 +1385,40 @@ def q_kg_mentions(spark, sf_dir):
     ).distinct()
 
 
+def q_kg_lex(spark, sf_dir):
+    """LEX rendering of the annotated 40-file corpus (ToLex semantics,
+    lex.cc:216-294): every document's tokens + linked mention spans as
+    '[phrase|Qid]' markup — verified against the Python twin rendering
+    the oracle's mentions over the shared tokenizer."""
+    from .functions.lex import render_lex
+    from .kg.pipeline import run_pipeline
+
+    res = run_pipeline(spark, n_files=40)
+    return render_lex(res["documents"], res["mentions"]).select("repo", "path", "lex")
+
+
+def _sql_kg_lex() -> str:
+    from .functions.lex import to_lex
+    from .oracle.kg_oracle import latest_corpus
+
+    oracle = _kg_oracle_40()
+    by_doc: dict[tuple, list] = {}
+    for m in oracle["mentions"]:
+        by_doc.setdefault((m["repo"], m["path"]), []).append(
+            (m["begin"], m["end"], m["entity"])
+        )
+    rows = []
+    for d in latest_corpus(40):
+        toks = d["tokens"]
+        spans = by_doc.get((d["repo"], d["path"]), [])
+        lex = to_lex([t.word for t in toks], [t.brk for t in toks], spans)
+        rows.append((d["repo"], d["path"], lex))
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(x)})" for r, p, x in sorted(rows)
+    )
+    return f"SELECT repo, path, lex FROM (VALUES {values}) AS t(repo, path, lex)"
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1437,6 +1477,7 @@ def queries():
         "kg_biaffine_spans": q_kg_biaffine_spans,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
+        "kg_lex": q_kg_lex,
     }
     return {name: _with_session_conf(fn) for name, fn in out.items()}
 
@@ -1483,4 +1524,5 @@ def oracle_sql():
         "doc_lsh_candidates": _sql_lsh_candidates(),
         "emb_ann_lsh": _sql_emb_ann_lsh(),
         "kg_biaffine_spans": _sql_biaffine(),
+        "kg_lex": _sql_kg_lex(),
     }

@@ -87,3 +87,24 @@ def test_relations_uses_broadcast_facts(spark):
 def test_exact_dedup_partial_agg(spark):
     df = contract.q_doc_exact_dedup(spark, SF)
     assert_partial_aggregation(df)
+
+
+def test_documents_stage_is_pure_catalyst(spark):
+    """The pipeline's raw documents stage (latest-version + sha) must not
+    contain ANY Python evaluation node: content shuffles and hashes stay
+    JVM-side; tokenization happens only in the downstream consumers
+    (doc_stats / annotate) where content crosses Arrow inbound only."""
+    from sling_spark.kg.documents import doc_stats, latest_with_sha
+    from sling_spark.sources.corpus import corpus_df
+
+    raw = latest_with_sha(corpus_df(spark, 50, partitions=2))
+    plan = formatted_plan(raw)
+    # corpus synthesis itself is a Python source; strip its subtree by
+    # checking the aggregate/sha section only
+    agg_section = plan[plan.index("HashAggregate") :] if "HashAggregate" in plan else plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in agg_section, f"{marker} leaked into documents stage:\n{plan}"
+    # the stats pass projects only the 4 needed columns before Python
+    stats = doc_stats(raw)
+    splan = formatted_plan(stats)
+    assert "MapInPandas" in splan  # the one sanctioned Python pass
