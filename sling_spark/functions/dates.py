@@ -2,11 +2,14 @@
 
 Reference semantics: SLING dates carry a precision (millennium..day) and
 support BC years (sling/nlp/kb/calendar.cc/h; date annotators
-mentions.h:349). The reconciler keeps the most precise value when two
-statements state the same date at different granularities
-(reconciler.cc date reconciliation).
+mentions.h:349). Star notation for coarse dates per calendar.h:82-84:
+DECADE ``[+|-]YYY*``, CENTURY ``[+|-]YY**``, MILLENNIUM ``[+|-]Y***``.
+The reconciler keeps the most precise value when two statements state
+the same date at different granularities (reconciler.cc date
+reconciliation).
 
-Precision encoding: 1=year, 2=month, 3=day (0 = not a date).
+Precision encoding mirrors calendar.h:33
+(NONE, MILLENNIUM, CENTURY, DECADE, YEAR, MONTH, DAY = 0..6).
 """
 
 from __future__ import annotations
@@ -18,21 +21,36 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _DATE_RE = re.compile(r"^(-?\d{1,4})(?:-(\d{2}))?(?:-(\d{2}))?$")
+_STAR_RE = re.compile(r"^([+-]?)(\d+)(\*{1,3})$")
 
-P_NONE, P_YEAR, P_MONTH, P_DAY = 0, 1, 2, 3
+P_NONE, P_MILLENNIUM, P_CENTURY, P_DECADE, P_YEAR, P_MONTH, P_DAY = range(7)
+
+#: year-granularity divisor per coarse precision
+_GRANULARITY = {P_MILLENNIUM: 1000, P_CENTURY: 100, P_DECADE: 10}
 
 
 @dataclass(frozen=True)
 class ParsedDate:
-    year: int
+    year: int  # base year (e.g. 1950 for "195*")
     month: int  # 0 when precision < month
     day: int  # 0 when precision < day
     precision: int
 
 
 def parse_date(text: str) -> ParsedDate | None:
-    """Parse 'Y', 'Y-M', 'Y-M-D' (negative year = BC)."""
-    m = _DATE_RE.match(text or "")
+    """Parse 'Y', 'Y-M', 'Y-M-D' (negative year = BC) plus the coarse
+    star forms '195*' (decade), '19**' (century), '1***' (millennium)."""
+    text = text or ""
+    m = _STAR_RE.match(text)
+    if m:
+        sign = -1 if m.group(1) == "-" else 1
+        stars = len(m.group(3))
+        if len(m.group(2)) + stars > 4:
+            return None
+        year = sign * int(m.group(2)) * 10**stars
+        precision = {1: P_DECADE, 2: P_CENTURY, 3: P_MILLENNIUM}[stars]
+        return ParsedDate(year, 0, 0, precision)
+    m = _DATE_RE.match(text)
     if not m:
         return None
     year = int(m.group(1))
@@ -58,10 +76,14 @@ def more_precise(a: str, b: str) -> str:
 
 
 def compatible(a: ParsedDate, b: ParsedDate) -> bool:
-    """Same date up to the coarser precision."""
+    """Same date up to the coarser precision (e.g. 1958-03 sits inside
+    the 195* decade and the 19** century)."""
+    p = min(a.precision, b.precision)
+    gran = _GRANULARITY.get(p)
+    if gran is not None:
+        return a.year // gran == b.year // gran
     if a.year != b.year:
         return False
-    p = min(a.precision, b.precision)
     if p >= P_MONTH and a.month != b.month:
         return False
     if p >= P_DAY and a.day != b.day:
@@ -75,6 +97,9 @@ def date_precision_col(c: Column) -> Column:
         F.when(c.rlike(r"^-?\d{1,4}-\d{2}-\d{2}$"), F.lit(P_DAY))
         .when(c.rlike(r"^-?\d{1,4}-\d{2}$"), F.lit(P_MONTH))
         .when(c.rlike(r"^-?\d{1,4}$"), F.lit(P_YEAR))
+        .when(c.rlike(r"^[+-]?\d{1,3}\*$"), F.lit(P_DECADE))
+        .when(c.rlike(r"^[+-]?\d{1,2}\*\*$"), F.lit(P_CENTURY))
+        .when(c.rlike(r"^[+-]?\d\*\*\*$"), F.lit(P_MILLENNIUM))
         .otherwise(F.lit(P_NONE))
     )
 

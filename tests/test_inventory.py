@@ -26,6 +26,19 @@ def test_parse_date_and_precision():
     assert more_precise("1958", "1958-03-14") == "1958-03-14"
     assert more_precise("1958-03", "1958") == "1958-03"
     assert more_precise("1958", "1959-01") == "1958"  # incompatible
+    # star notation (calendar.h:82-84): decade / century / millennium
+    from sling_spark.functions.dates import P_CENTURY, P_DECADE, P_MILLENNIUM
+
+    assert parse_date("195*").precision == P_DECADE
+    assert parse_date("195*").year == 1950
+    assert parse_date("19**").precision == P_CENTURY
+    assert parse_date("1***") == parse_date("1***")
+    assert parse_date("1***").precision == P_MILLENNIUM
+    assert parse_date("-5**").year == -500  # 5th century BC
+    assert parse_date("19***") is None  # > 4 digits of year
+    assert more_precise("195*", "1958-03") == "1958-03"  # inside the decade
+    assert more_precise("19**", "1958") == "1958"
+    assert more_precise("195*", "1968") == "195*"  # different decade
 
 
 def test_partition_ops(spark):
