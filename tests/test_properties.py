@@ -139,3 +139,64 @@ def test_xref_distributed_equals_driver_on_random_graphs(spark):
             for r in build_clusters(df, driver_threshold=0).collect()
         }
         assert drv == dist, f"seed {seed}"
+
+
+@st.composite
+def _lex_doc(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    words = draw(st.lists(
+        st.text(min_size=1, max_size=6).filter(lambda w: not w.isspace()),
+        min_size=n, max_size=n))
+    brks = [0] + draw(st.lists(st.integers(min_value=0, max_value=3),
+                               min_size=n - 1, max_size=n - 1))
+    # non-overlapping spans
+    spans, pos = [], 0
+    while pos < n:
+        if draw(st.booleans()) and pos + 1 <= n:
+            end = draw(st.integers(min_value=pos + 1, max_value=min(n, pos + 3)))
+            spans.append((pos, end, f"Q{draw(st.integers(0, 99))}"))
+            pos = end
+        else:
+            pos += 1
+    return words, brks, spans
+
+
+@given(_lex_doc())
+@settings(max_examples=150, deadline=None)
+def test_lex_roundtrip_recovers_spans(doc):
+    """to_lex → parse_lex recovers every span's ref and surface phrase,
+    for arbitrary Unicode words (incl. reserved chars) and break levels."""
+    from sling_spark.functions.lex import _REWRITES, parse_lex, to_lex
+
+    words, brks, spans = doc
+    # the ``/''/--/... rewrites intentionally change the surface form;
+    # skip docs using them so surface comparison stays exact
+    if any(w in _REWRITES for w in words):
+        return
+    lex = to_lex(words, brks, spans)
+    text, parsed = parse_lex(lex)
+    assert len(parsed) == len(spans)
+    by_ref = sorted(parsed, key=lambda s: s[0])
+    want = sorted(spans, key=lambda s: s[0])
+    for (b, e, ref), (wb, we, wref) in zip(by_ref, want):
+        assert ref == wref
+        # the parsed byte span must cover exactly the span's words joined
+        # by their separators
+        sep = {0: "", 1: " ", 2: "  ", 3: "\n\n"}
+        expect = words[wb]
+        for i in range(wb + 1, we):
+            expect += sep.get(brks[i], " ") + words[i]
+        assert text[b:e] == expect
+
+
+@given(st.text(alphabet="0123456789.,+- ", max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_parse_number_never_crashes_and_sign_consistent(s):
+    from sling_spark.functions.numbers import parse_number_format
+
+    for fmt in ("IMPERIAL", "STANDARD", "NORWEGIAN"):
+        v = parse_number_format(s, fmt)
+        if v is not None:
+            assert isinstance(v, (int, float))
+            if s.strip().startswith("-") and v != 0:
+                assert v < 0
