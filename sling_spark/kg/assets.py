@@ -50,11 +50,36 @@ def seed_dataframes(spark: SparkSession) -> dict[str, DataFrame]:
     }
 
 
+def phrase_table_future(
+    spark: SparkSession, seed: dict[str, DataFrame], min_count: int = 2
+):
+    """Launch the phrase-table build (alias selection → table → collected
+    dict) on a second job-submitter thread. The branch is corpus-
+    INDEPENDENT (seed aliases only), so its Spark jobs interleave into
+    free task slots while the corpus stages run — the reference's
+    workflow scheduler runs independent task branches in parallel the
+    same way (python/task/workflow.py worker pools). Spark job submission
+    is thread-safe."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="pt-branch")
+
+    def run():
+        selected = select_aliases(seed["aliases"], min_count=min_count)
+        df = build_phrase_table(selected)
+        return df, phrase_table_dict(df)
+
+    fut = pool.submit(run)
+    pool.shutdown(wait=False)
+    return fut
+
+
 def build_assets(
     spark: SparkSession,
     documents: DataFrame,
     seed: dict[str, DataFrame] | None = None,
     min_alias_count: int = 2,
+    pt_future=None,
 ):
     """Run the alias-selection + phrase-table + IDF builds in Spark, then
     broadcast the collected lookup structures. Returns (broadcast,
@@ -64,12 +89,11 @@ def build_assets(
     statements dicts come straight from the literal kb fixtures (same
     data, no DataFrame round-trip)."""
     seed = seed or seed_dataframes(spark)
-    selected = select_aliases(seed["aliases"], min_count=min_alias_count)
-    pt_df = build_phrase_table(selected)
-    pt = phrase_table_dict(pt_df)
-
+    if pt_future is None:
+        pt_future = phrase_table_future(spark, seed, min_alias_count)
     idf_df = idf_table(documents)
     idf = {r["fp"]: r["idf"] for r in idf_df.collect()}
+    pt_df, pt = pt_future.result()
 
     # links/popularity/statements are literal seed fixtures — build the
     # dicts straight from the source rows instead of a DataFrame

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.corpus import corpus_df
-from .assets import build_assets, seed_dataframes
+from .assets import build_assets, phrase_table_future, seed_dataframes
 from .documents import doc_stats, latest_with_sha
 from .mentions import annotate, mentions_of, relations_of
 from .reconcile import kb_triples, merge_items, reconcile_items
@@ -55,6 +55,9 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every stage output by name."""
     seed = seed_dataframes(spark)
+    # corpus-independent branch starts immediately: its jobs interleave
+    # with the corpus/documents/stats stages below (two submitter threads)
+    pt_future = phrase_table_future(spark, seed)
     if corpus is None:
         corpus = corpus_df(spark, n_files, partitions=partitions)
     corpus = _materialize(corpus, spark, checkpoint_dir, "corpus")
@@ -75,7 +78,7 @@ def run_pipeline(
     if checkpoint_dir is None:
         stats = stats.persist()
 
-    assets_bc, phrase_table = build_assets(spark, stats, seed)
+    assets_bc, phrase_table = build_assets(spark, stats, seed, pt_future=pt_future)
 
     # ONE annotation pass emits mention + relation rows together (the
     # annotator-chain shape; relations are order-dependent within a
