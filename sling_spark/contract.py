@@ -1385,6 +1385,69 @@ def q_kg_mentions(spark, sf_dir):
     ).distinct()
 
 
+def q_emb_ann_ivf(spark, sf_dir):
+    """IVF ANN (the second ANN scale path, FAISS-style): corpus sharded
+    by coarse cell, queries probe their 2 nearest of 4 cells, exact
+    cosine re-rank inside probed cells. Integer-quantized
+    (floor(x*1000)) like emb_ann_lsh so every distance/argmin/cosine is
+    exact arithmetic — full DuckDB value-hash oracle. Plan shape =
+    production ivf_topk (operators/similarity.py); coarse centroids =
+    the first 4 quantized vectors (a seeded quantizer; kmeans_fit is the
+    trained path, recall-tested in pytest)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("double"),
+        ).alias("embedding"),
+    )
+    cents = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
+_SQL_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 4),
+dists AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_sum(list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists
+  ) WHERE rn <= 2 AND vec_id < 20
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+               (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+                sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_kg_lex(spark, sf_dir):
     """LEX rendering of the annotated 40-file corpus (ToLex semantics,
     lex.cc:216-294): every document's tokens + linked mention spans as
@@ -1474,6 +1537,7 @@ def queries():
         "kg_property_usage": q_kg_property_usage,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "kg_biaffine_spans": q_kg_biaffine_spans,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -1523,6 +1587,7 @@ def oracle_sql():
         "kg_mentions": _sql_kg_mentions(),
         "doc_lsh_candidates": _sql_lsh_candidates(),
         "emb_ann_lsh": _sql_emb_ann_lsh(),
+        "emb_ann_ivf": _SQL_ANN_IVF,
         "kg_biaffine_spans": _sql_biaffine(),
         "kg_lex": _sql_kg_lex(),
     }

@@ -182,3 +182,106 @@ def ivf_assign(
     return df.withColumn(
         out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means entirely in DataFrame ops: init =
+    the k lowest-id vectors, each iteration one assign (JVM argmin) +
+    one partial-agg mean per (cell, dim). Centroids are dimension-sized
+    (k x d floats) — only they ever reach the driver; the corpus never
+    does. This is the IVF coarse-quantizer trainer (FAISS-style), the
+    scale path's offline step."""
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col=vec_col)
+        dims = assigned.select(
+            "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("entries"))
+            .collect()
+        )
+        new = {r["cell"]: [e["m"] for e in r["entries"]] for r in means}
+        # empty cells keep their previous centroid (standard Lloyd's)
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus sharded by coarse cell (ONE shuffle
+    keyed on cell — this is the inverted file), each query probes its
+    ``nprobe`` nearest cells, exact cosine re-rank inside the probed
+    cells only. Complements lsh_topk as the second ANN scale path:
+    candidate count ~ nprobe/k_cells of the corpus instead of O(N·Q)."""
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        centroids, vec_col="cvec",
+    )
+    cents = F.array(*[
+        F.array(*[F.lit(float(v)) for v in cc]) for cc in centroids
+    ])
+    qdists = F.transform(
+        cents,
+        lambda cc: F.aggregate(
+            F.zip_with(F.col("qvec"), cc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.arrays_zip(
+                    qdists.alias("d"),
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1, nprobe,
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("probe_cells", probe_cells)
+        .select("query_id", "qvec", F.explode("probe_cells").alias("probe"))
+        .withColumn("cell", F.col("probe").cast("int"))
+        .drop("probe")
+    )
+    cand = c.join(F.broadcast(q), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

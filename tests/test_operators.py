@@ -223,3 +223,26 @@ def test_warc_reader(spark, tmp_path):
     assert rows["https://example.com/c"]["record_index"] == 0
     import hashlib
     assert rows["https://example.com/a"]["payload_sha"] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF path: kmeans coarse quantizer + nprobe cell search. With
+    nprobe = all cells the result must EQUAL brute force; with nprobe=2
+    recall stays non-trivial."""
+    from sling_spark.operators.similarity import brute_force_topk, ivf_topk, kmeans_fit
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_fit(emb, k=4, iters=2)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    full_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
+    }
+    assert full_probe == exact  # probing every cell == exhaustive search
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, cents, k=5, nprobe=2).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
