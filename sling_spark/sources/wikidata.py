@@ -1,0 +1,181 @@
+"""Wikidata JSON-dump importer (wikidata-converter.cc semantics).
+
+Parses the wikibase JSON item layout — labels / aliases / claims with
+mainsnak datavalues, qualifiers, and ranks — into the engine's item
+shape (``assets.ITEMS_DDL``: id, name, types, statements) and alias
+rows, so a real dump feeds straight into reconcile/merge and the
+phrase-table build.
+
+Reference semantics (file:line in /root/reference):
+- field walk: sling/nlp/wiki/wikidata-converter.cc:113-310
+- rank: 0=deprecated, 1=normal, 2=preferred (:270-275); deprecated
+  statements carry their rank so the merger can drop them (our
+  merge_items deprecated handling).
+- datavalue conversion (:527-552): string, wikibase-entityid, time,
+  quantity, monolingualtext, globecoordinate.
+- time precision: wikibase 6=millennium 7=century 8=decade 9=year
+  10=month 11=day → our date strings incl. the star notation
+  (functions/dates.py, calendar.h:82-84).
+
+The Spark wrapper is one mapInPandas over a JSONL dump — dump lines
+cross Arrow inbound only, the emitted items/aliases are KB-dimension
+sized.
+"""
+
+from __future__ import annotations
+
+import json
+
+ITEM_SCHEMA = (
+    "id string, name string, types array<string>, statements "
+    "array<struct<pid string, object string, qualifiers map<string,string>>>"
+)
+ALIAS_SCHEMA = "entity string, alias string, lang string, is_label boolean"
+
+
+def convert_time(value: dict) -> str | None:
+    """wikibase time → our date string ('+1958-03-14T00:00:00Z', p=11
+    → '1958-03-14'; p=8 → '195*'; p=7 → '19**'; p=6 → '1***')."""
+    t = value.get("time") or ""
+    precision = value.get("precision", 11)
+    neg = t.startswith("-")
+    t = t.lstrip("+-")
+    date, _, _ = t.partition("T")
+    parts = date.split("-")
+    if len(parts) < 3 or not parts[0].isdigit():
+        return None
+    year = int(parts[0])
+    sign = "-" if neg else ""
+    if precision >= 11:
+        return f"{sign}{year:04d}-{parts[1]}-{parts[2]}"
+    if precision == 10:
+        return f"{sign}{year:04d}-{parts[1]}"
+    if precision == 9:
+        return f"{sign}{year:04d}"
+    if precision == 8:
+        return f"{sign}{year // 10}*"
+    if precision == 7:
+        return f"{sign}{year // 100}**"
+    if precision == 6:
+        return f"{sign}{year // 1000}***"
+    return f"{sign}{year:04d}"
+
+
+def convert_datavalue(datavalue: dict) -> str | None:
+    """ConvertValue (wikidata-converter.cc:527-552) → canonical string."""
+    dtype = datavalue.get("type")
+    value = datavalue.get("value")
+    if dtype == "string":
+        return value if isinstance(value, str) else None
+    if not isinstance(value, dict):
+        return None
+    if dtype == "wikibase-entityid":
+        if "id" in value:
+            return value["id"]
+        ent = {"item": "Q", "property": "P"}.get(value.get("entity-type"), "Q")
+        num = value.get("numeric-id")
+        return f"{ent}{num}" if num is not None else None
+    if dtype == "time":
+        return convert_time(value)
+    if dtype == "quantity":
+        amount = str(value.get("amount", "")).lstrip("+")
+        unit = value.get("unit", "1")
+        if unit and unit != "1":
+            return f"{amount}@{unit.rsplit('/', 1)[-1]}"
+        return amount
+    if dtype == "monolingualtext":
+        return value.get("text")
+    if dtype == "globecoordinate":
+        lat, lon = value.get("latitude"), value.get("longitude")
+        return None if lat is None or lon is None else f"{lat},{lon}"
+    return None  # unknown datatype: skip (the converter LOG(FATAL)s;
+    #              on a dirty dump we drop instead of aborting the job)
+
+
+def parse_item(obj: dict, lang: str = "en") -> tuple[dict, list[dict]] | None:
+    """One wikibase JSON item → (item row, alias rows)."""
+    qid = obj.get("id")
+    if not qid:
+        return None
+    labels = obj.get("labels") or {}
+    label = labels.get(lang) or next(iter(labels.values()), None)
+    name = label.get("value") if isinstance(label, dict) else None
+
+    aliases = [
+        {"entity": qid, "alias": name, "lang": lang, "is_label": True}
+    ] if name else []
+    for al in (obj.get("aliases") or {}).get(lang, []) or []:
+        v = al.get("value") if isinstance(al, dict) else None
+        if v:
+            aliases.append({"entity": qid, "alias": v, "lang": lang, "is_label": False})
+
+    statements = []
+    types = []
+    for pid, stmts in (obj.get("claims") or {}).items():
+        for st in stmts or []:
+            snak = st.get("mainsnak") or {}
+            datavalue = snak.get("datavalue")
+            if not datavalue:
+                continue  # somevalue / novalue snaks carry no datavalue
+            obj_val = convert_datavalue(datavalue)
+            if obj_val is None:
+                continue
+            rank = st.get("rank", "normal")
+            quals: dict[str, str] = {}
+            for qpid, qstmts in (st.get("qualifiers") or {}).items():
+                for q in qstmts or []:
+                    qv = q.get("datavalue")
+                    if qv:
+                        qval = convert_datavalue(qv)
+                        if qval is not None:
+                            quals[qpid] = qval
+            if rank == "deprecated":
+                quals["rank"] = "deprecated"  # merge_items drops these
+            elif rank == "preferred":
+                quals["rank"] = "preferred"
+            statements.append({"pid": pid, "object": obj_val, "qualifiers": quals})
+            if pid == "P31":
+                types.append(obj_val)
+    item = {"id": qid, "name": name, "types": types, "statements": statements}
+    return item, aliases
+
+
+def wikidata_items(dump, lang: str = "en", json_col: str = "value"):
+    """JSONL dump DataFrame → (items DF in ITEMS_DDL shape, alias rows
+    DF). One Arrow pass; malformed lines are dropped (dirty-dump
+    tolerance), counted implicitly by items vs input rows."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf[json_col]:
+                try:
+                    obj = json.loads(line)
+                except (TypeError, ValueError):
+                    continue
+                parsed = parse_item(obj, lang)
+                if parsed:
+                    rows.append(parsed[0])
+            yield pd.DataFrame(
+                rows, columns=["id", "name", "types", "statements"]
+            )
+
+    def parse_aliases(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf[json_col]:
+                try:
+                    obj = json.loads(line)
+                except (TypeError, ValueError):
+                    continue
+                parsed = parse_item(obj, lang)
+                if parsed:
+                    rows.extend(parsed[1])
+            yield pd.DataFrame(
+                rows, columns=["entity", "alias", "lang", "is_label"]
+            )
+
+    items = dump.select(json_col).mapInPandas(parse, schema=ITEM_SCHEMA)
+    alias_rows = dump.select(json_col).mapInPandas(parse_aliases, schema=ALIAS_SCHEMA)
+    return items, alias_rows

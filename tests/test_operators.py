@@ -246,3 +246,75 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         for r in ivf_topk(emb, q, cents, k=5, nprobe=2).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_wikidata_importer(spark, tmp_path):
+    """Wikibase JSON-dump layout → engine item shape (wikidata-converter
+    semantics: datavalue types, ranks, qualifiers, time precisions)."""
+    import json as _json
+
+    from sling_spark.sources.wikidata import wikidata_items
+
+    item = {
+        "id": "Q42",
+        "labels": {"en": {"language": "en", "value": "Douglas Adams"}},
+        "aliases": {"en": [{"value": "DNA"}, {"value": "Douglas Noel Adams"}]},
+        "claims": {
+            "P31": [{"mainsnak": {"datavalue": {"type": "wikibase-entityid",
+                                                "value": {"entity-type": "item", "numeric-id": 5}}},
+                     "rank": "normal"}],
+            "P569": [{"mainsnak": {"datavalue": {"type": "time",
+                                                 "value": {"time": "+1952-03-11T00:00:00Z", "precision": 11}}},
+                      "rank": "preferred",
+                      "qualifiers": {"P459": [{"datavalue": {"type": "wikibase-entityid",
+                                                             "value": {"id": "Q1985727"}}}]}}],
+            "P2048": [{"mainsnak": {"datavalue": {"type": "quantity",
+                                                  "value": {"amount": "+1.96",
+                                                            "unit": "http://www.wikidata.org/entity/Q11573"}}},
+                       "rank": "deprecated"}],
+            "P570": [{"mainsnak": {"datavalue": {"type": "time",
+                                                 "value": {"time": "+2000-01-01T00:00:00Z", "precision": 7}}},
+                      "rank": "normal"}],
+            "P1559": [{"mainsnak": {"datavalue": {"type": "monolingualtext",
+                                                  "value": {"text": "Douglas Adams", "language": "en"}}},
+                       "rank": "normal"}],
+            "P625": [{"mainsnak": {"datavalue": {"type": "globecoordinate",
+                                                 "value": {"latitude": 52.2, "longitude": 0.12}}},
+                      "rank": "normal"}],
+            "P9999": [{"mainsnak": {"snaktype": "somevalue"}}],
+        },
+    }
+    lines = [_json.dumps(item), "{not json", _json.dumps({"labels": {}})]
+    (tmp_path / "dump.jsonl").write_text("\n".join(lines))
+    dump = spark.read.text(str(tmp_path / "dump.jsonl"))
+    items, aliases = wikidata_items(dump)
+    rows = items.collect()
+    assert len(rows) == 1  # malformed + id-less lines dropped
+    it = rows[0].asDict(recursive=True)
+    assert it["id"] == "Q42" and it["name"] == "Douglas Adams"
+    assert it["types"] == ["Q5"]
+    st = {s["pid"]: s for s in it["statements"]}
+    assert st["P31"]["object"] == "Q5"
+    assert st["P569"]["object"] == "1952-03-11"
+    assert st["P569"]["qualifiers"]["P459"] == "Q1985727"
+    assert st["P569"]["qualifiers"]["rank"] == "preferred"
+    assert st["P2048"]["object"] == "1.96@Q11573"
+    assert st["P2048"]["qualifiers"]["rank"] == "deprecated"
+    assert st["P570"]["object"] == "20**"  # century precision -> star form
+    assert st["P625"]["object"] == "52.2,0.12"
+    assert "P9999" not in st  # somevalue snak skipped
+    al = {(r["alias"], r["is_label"]) for r in aliases.collect()}
+    assert al == {("Douglas Adams", True), ("DNA", False), ("Douglas Noel Adams", False)}
+
+    # imported items feed the reconcile/merge path directly: the
+    # deprecated-rank statement is dropped by merge_items
+    from pyspark.sql import functions as F2
+    from sling_spark.kg.reconcile import merge_items, reconcile_items
+
+    clusters = spark.createDataFrame([("Q42", "Q42")], "member_id string, canonical_id string")
+    merged = merge_items(
+        reconcile_items(items.withColumn("source_priority", F2.lit(0)), clusters)
+    ).collect()
+    pids = {s["pid"] for m in merged for s in m["statements"]}
+    assert "P2048" not in pids  # deprecated dropped
+    assert {"P31", "P569", "P570"} <= pids
