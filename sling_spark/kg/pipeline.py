@@ -2,11 +2,13 @@
 
 Stage DAG (SURVEY.md §7):
 
-    corpus ─ documents ─┬─ idf ──────────┐
-                        │                ├─ mentions ─ relations ─ doc_triples
-    seed aliases ─ select ─ phrase_table ┘                              │
-    seed same_as ─ xref clusters ──┬─ canonicalized triples ────────────┤
-    seed items + fragments ─ reconcile/merge ─ kb_items ─ kb_triples ───┴─ triples
+    corpus ─ documents(raw) ─┬─ doc_stats ─ idf ─┐
+                             │                   ├─ mentions ─ relations ─ doc_triples
+    seed aliases ─ select ─ phrase_table ────────┘  (phrase-table branch │
+                   runs on a second job-submitter thread, overlapping   │
+                   the corpus stages)                                    │
+    seed same_as ─ xref clusters ──┬─ canonicalized triples ─────────────┤
+    seed items + fragments ─ reconcile/merge ─ kb_items ─ kb_triples ────┴─ triples
 
 Checkpointing (north rule "resumable from per-partition checkpoint"):
 every materialized stage is written to ``<dir>/<stage>`` as Parquet; a
