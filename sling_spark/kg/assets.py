@@ -115,5 +115,6 @@ def build_assets(
         popularity=popularity,
         links=links,
         statements=statements,
+        gender=kb.gender_lookup(),  # anaphora agreement (anaphora.cc)
     )
     return spark.sparkContext.broadcast(assets), pt_df

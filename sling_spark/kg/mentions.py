@@ -68,7 +68,18 @@ SPAN_COST = 1.0
 DEFAULT_MIN_IDF = 1.2
 DEFAULT_MAX_SPAN = 5
 ANAPHORA_WINDOW = 3  # sentences an antecedent may be away (anaphora.cc)
-PRONOUNS = {"it", "this"}  # code-corpus pronoun inventory
+
+# pronoun descriptors with grammatical gender (anaphora.cc:45-55 English
+# inventory; it/this are the code-corpus neuter triggers with UNKNOWN
+# gender — they agree with genderless markables, exactly the reference's
+# `m.gender == markable.gender` rule)
+G_UNKNOWN, G_MASC, G_FEM = 0, 1, 2
+PRONOUN_GENDER = {
+    "it": G_UNKNOWN, "this": G_UNKNOWN,
+    "he": G_MASC, "his": G_MASC, "him": G_MASC,
+    "she": G_FEM, "her": G_FEM, "hers": G_FEM,
+}
+PRONOUNS = set(PRONOUN_GENDER)
 
 
 @dataclass
@@ -80,6 +91,7 @@ class KbAssets:
     popularity: dict[str, int]  # entity -> popularity count
     links: dict[str, list[tuple[str, int]]]  # src -> [(dst, count)]
     statements: dict[str, list[tuple[str, str]]]  # subj -> [(pid, obj)]
+    gender: dict[str, int] | None = None  # entity -> G_* (anaphora agreement)
 
 
 def _sentence_bounds(brks: list[int]) -> list[tuple[int, int]]:
@@ -217,25 +229,37 @@ def annotate_document(
                 }
             )
 
-        # ---- 4b: anaphora (anaphora.cc semantics, code-corpus lite) ----
-        # a pronoun token resolves to the most recent NON-anaphor mention
-        # from a previous sentence within the window; the anaphor then
-        # acts as a relation SUBJECT (never as a target).
+        # ---- 4b: anaphora (anaphora.cc:120-145 semantics) --------------
+        # a pronoun token resolves to the EARLIEST gender-agreeing
+        # NON-anaphor mention in the NEAREST sentence that has one (own
+        # sentence included, only mentions before the pronoun), searching
+        # back at most ANAPHORA_WINDOW sentences. Gender comes from the
+        # entity's P21 fact (anaphora.cc:178-190); genderless entities are
+        # UNKNOWN and agree with it/this. Anaphors then act as relation
+        # SUBJECTS only (never as targets).
+        gender_of = assets.gender or {}
         anaphors: list[tuple[int, int, str]] = []
         covered = {i for b, e, _ent in sent_mentions for i in range(b, e)}
         for i in range(sb, se):
-            if i in covered or words[i].casefold() not in PRONOUNS:
+            w = words[i].casefold()
+            if i in covered or w not in PRONOUN_GENDER:
                 continue
+            pgender = PRONOUN_GENDER[w]
             antecedent = None
+            prev_sent = s_idx
             for m in reversed(mentions):
                 if m["anaphora"]:
                     continue
-                if m["sentence"] >= s_idx:
-                    continue
-                if m["sentence"] < s_idx - ANAPHORA_WINDOW:
-                    break
-                antecedent = m
-                break
+                if m["sentence"] == s_idx and m["begin"] >= i:
+                    continue  # only markables before the pronoun
+                if m["sentence"] != prev_sent:
+                    if antecedent is not None:
+                        break
+                    if s_idx - m["sentence"] > ANAPHORA_WINDOW:
+                        break
+                    prev_sent = m["sentence"]
+                if gender_of.get(m["entity"], G_UNKNOWN) == pgender:
+                    antecedent = m
             if antecedent is None:
                 continue
             anaphors.append((i, i + 1, antecedent["entity"]))

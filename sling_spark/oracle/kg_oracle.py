@@ -31,7 +31,7 @@ from ..kg.mentions import (
     DEFAULT_MIN_IDF,
     LOCAL_BOOST,
     MENTION_WEIGHT,
-    PRONOUNS,
+    PRONOUN_GENDER,
     SPAN_COST,
     TOKEN_SKIP_COST,
 )
@@ -142,6 +142,7 @@ def annotate(
     min_idf: float = DEFAULT_MIN_IDF,
     max_span: int = DEFAULT_MAX_SPAN,
 ) -> list[dict]:
+    gender = kb.gender_lookup()  # anaphora agreement (anaphora.cc:178-190)
     mentions: list[dict] = []
     for d in docs:
         toks = d["tokens"]
@@ -243,22 +244,32 @@ def annotate(
                         "anaphora": False,
                     }
                 )
-            # anaphora: pronoun -> most recent non-anaphor mention from a
-            # previous sentence within the window
+            # anaphora (anaphora.cc:120-145): earliest gender-agreeing
+            # non-anaphor mention in the nearest sentence that has one
+            # (own sentence included, mentions before the pronoun only),
+            # back at most ANAPHORA_WINDOW sentences; markable gender
+            # from the entity's P21 fact, UNKNOWN otherwise.
             covered = {i for b, e in sent_spans for i in range(b, e)}
             for i in range(sb, se):
-                if i in covered or toks[i].word.casefold() not in PRONOUNS:
+                w = toks[i].word.casefold()
+                if i in covered or w not in PRONOUN_GENDER:
                     continue
+                pgender = PRONOUN_GENDER[w]
                 antecedent = None
+                prev_sent = s_idx
                 for m in reversed(doc_mentions):
                     if m["anaphora"]:
                         continue
-                    if m["sentence"] >= s_idx:
+                    if m["sentence"] == s_idx and m["begin"] >= i:
                         continue
-                    if m["sentence"] < s_idx - ANAPHORA_WINDOW:
-                        break
-                    antecedent = m
-                    break
+                    if m["sentence"] != prev_sent:
+                        if antecedent is not None:
+                            break
+                        if s_idx - m["sentence"] > ANAPHORA_WINDOW:
+                            break
+                        prev_sent = m["sentence"]
+                    if gender.get(m["entity"], 0) == pgender:
+                        antecedent = m
                 if antecedent is None:
                     continue
                 doc_mentions.append(

@@ -43,6 +43,8 @@ _REL_TEMPLATES = {
            "{s} ships under {o}"],
     "P5": ["{s} reads and writes {o} files natively",
            "{s} uses {o} as its storage format"],
+    "P7": ["{s} created {o} back in the day",
+           "{o} was originally created by {s}"],
 }
 
 _SINGLE_TEMPLATES = [
@@ -52,9 +54,10 @@ _SINGLE_TEMPLATES = [
     "{s} integration helpers live here",
 ]
 
-# pronoun-relation sentences: subject is an anaphor ("it") resolving to
-# the most recent prior mention (exercises the anaphora annotator,
-# sling/nlp/silver/anaphora.cc semantics)
+# pronoun-relation sentences: subject is an anaphor resolving to a
+# gender-agreeing prior mention (exercises the anaphora annotator,
+# sling/nlp/silver/anaphora.cc gender agreement — "it" matches
+# genderless entities, "he"/"she" match P21-gendered persons)
 _PRONOUN_TEMPLATES = {
     "P1": "it depends on {o} at runtime",
     "P2": "it is written in {o}",
@@ -62,6 +65,14 @@ _PRONOUN_TEMPLATES = {
     "P4": "it is licensed under {o}",
     "P5": "it stores data as {o}",
 }
+_PERSON_PRONOUN_TEMPLATES = {
+    1: "he created {o} back in the day",  # G_MASC
+    2: "she created {o} back in the day",  # G_FEM
+}
+_PERSON_SINGLE_TEMPLATES = [
+    "original design notes by {s} are kept here",
+    "this approach follows the {s} memo",
+]
 
 _NOISE = [
     "load the configuration from the environment",
@@ -90,12 +101,14 @@ def commit_hex(repo: str, path: str, version: int) -> str:
 # precomputed weighted-alias sampling support (module-level constants,
 # shared by all workers; cheap to rebuild per process)
 _ENTITY_ALIASES: dict[str, list[tuple[str, int]]] = {
-    e[0]: list(e[3]) for e in kb._E
-}
+    e[0]: list(e[3]) for e in kb._E if e[3]  # alias-less items (gender
+}                                            # values) are not mentionable
 _FACTS = {qid: sorted(facts) for qid, facts in kb.facts_lookup().items()}
 _REL_SUBJECTS = [qid for qid in sorted(_FACTS)
                  if any(p not in kb.BLOCKED_PROPERTIES for p, _ in _FACTS[qid])
                  and qid in _ENTITY_ALIASES]
+_GENDER = kb.gender_lookup()
+_PERSONS = sorted(qid for qid in _GENDER if qid in _ENTITY_ALIASES)
 
 
 def _pick_alias(rng: random.Random, qid: str) -> str:
@@ -165,12 +178,22 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
         elif kind < 8 and primed:  # pronoun relation about a primed entity
             s = primed[-1]
             stmts = [st for st in _FACTS.get(s, ())
-                     if st[0] not in kb.BLOCKED_PROPERTIES]
+                     if st[0] not in kb.BLOCKED_PROPERTIES and st[0] in _PRONOUN_TEMPLATES]
             if stmts:
                 pid, obj = rng.choice(stmts)
                 comment(_PRONOUN_TEMPLATES[pid].format(o=_pick_alias(rng, obj)))
             else:
                 comment(rng.choice(_NOISE))
+        elif kind == 8:  # gendered person mention + he/she pronoun relation
+            p = rng.choice(_PERSONS)
+            comment(rng.choice(_PERSON_SINGLE_TEMPLATES).format(s=_pick_alias(rng, p)))
+            created = sorted(o for pid, o in _FACTS.get(p, ()) if pid == "P7")
+            if created:
+                o = rng.choice(created)
+                comment(
+                    _PERSON_PRONOUN_TEMPLATES[_GENDER[p]].format(o=_pick_alias(rng, o))
+                )
+            primed.append(p)
         else:
             comment(rng.choice(_NOISE))
         # filler code line between comments

@@ -28,13 +28,16 @@ PROPERTIES: dict[str, str] = {
     "P4": "license",
     "P5": "uses format",
     "P6": "release date",  # literal-valued (date precision merge cases)
+    "P7": "created",  # person → project (exercises gendered anaphora)
+    "P21": "gender",  # person → Q91/Q92 (anaphora.cc gender agreement)
     "P279": "subclass of",
 }
 
 # relation-extraction property priority (analog of relations.cc:38-55
-# P27>P17>P19>P20>P119) and blocked list (relations.cc:56-66).
-PROPERTY_PRIORITY: list[str] = ["P1", "P2", "P5", "P3", "P4"]
-BLOCKED_PROPERTIES: set[str] = {"P279"}
+# P27>P17>P19>P20>P119) and blocked list (relations.cc:56-66 — the
+# reference blocks sex-or-gender from relation mining; so do we).
+PROPERTY_PRIORITY: list[str] = ["P1", "P2", "P5", "P3", "P4", "P7"]
+BLOCKED_PROPERTIES: set[str] = {"P279", "P21"}
 
 # alias source bitmask (subset of the 16 AliasSource values, wiki.h:48-64)
 SRC_NAME = 1  # canonical item name
@@ -224,6 +227,21 @@ _E = [
      [("PSF License", 15)],
      [],
      []),
+    # --- persons (gendered anaphora, anaphora.cc gender agreement) ----
+    ("Q80", "Ada Lovelace", ["person"],
+     [("Ada Lovelace", 45), ("Lovelace", 20)],
+     [("P21", "Q92"), ("P7", "Q10"), ("P7", "Q3")],
+     []),
+    ("Q81", "Dennis Ritchie", ["person"],
+     [("Dennis Ritchie", 40), ("Ritchie", 25)],
+     [("P21", "Q91"), ("P7", "Q11"), ("P7", "Q12")],
+     []),
+    ("Q82", "Grace Hopper", ["person"],
+     [("Grace Hopper", 35), ("Hopper", 15)],
+     [("P21", "Q92"), ("P7", "Q15")],
+     []),
+    ("Q91", "male", ["gender"], [], [], []),
+    ("Q92", "female", ["gender"], [], [], []),
     # --- class items (P279 taxonomy; exercise the Facts closure,
     # sling/nlp/kb/facts.h:30-90 "closure over P31/P279") -------------
     ("Q71", "machine learning framework", ["class"],
@@ -426,12 +444,27 @@ def statements_lookup() -> dict[str, list[tuple[str, str]]]:
 FACTS_CLOSURE_DEPTH = 2  # P279 hops the Facts extractor follows
 
 
+def gender_lookup() -> dict[str, int]:
+    """entity → grammatical gender for anaphora agreement
+    (anaphora.cc:178-190: n_gender_ male→MASCULINE, female→FEMININE;
+    everything else UNKNOWN). Encoding matches mentions.G_*:
+    0 unknown, 1 masculine, 2 feminine."""
+    out: dict[str, int] = {}
+    for qid, _name, _types, _aliases, stmts, _alt in _E:
+        for pid, obj in stmts:
+            if pid == "P21":
+                out[qid] = 1 if obj == "Q91" else 2 if obj == "Q92" else 0
+    return out
+
+
 def facts_lookup() -> dict[str, set[tuple[str, str]]]:
     """subject -> fact SET for relation extraction: direct statements
     plus statements inherited through up to FACTS_CLOSURE_DEPTH hops of
     P279 (the Facts::Extract closure, sling/nlp/kb/facts.h:30-90 /
-    facts.cc). P279 itself never appears as a fact (it is blocked for
-    relation emission and serves only as the traversal edge)."""
+    facts.cc). Blocked properties never appear as facts: P279 is only
+    the traversal edge, and P21 (gender) is blocked from relation
+    mining like the reference's sex-or-gender (relations.cc:56-66) —
+    gender reaches the annotator via gender_lookup() instead."""
     direct = statements_lookup()
     out: dict[str, set[tuple[str, str]]] = {}
     for qid in direct:
@@ -446,7 +479,7 @@ def facts_lookup() -> dict[str, set[tuple[str, str]]]:
                         if obj not in seen:
                             seen.add(obj)
                             nxt.append(obj)
-                    else:
+                    elif pid not in BLOCKED_PROPERTIES:
                         facts.add((pid, obj))
             frontier = nxt
             if not frontier:

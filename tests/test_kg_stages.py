@@ -161,3 +161,23 @@ def test_xref_clusters_match_oracle(spark, stages):
     # and Q6/Q7 are NOT merged
     assert got["pypi:torch"] in {"Q6", "Q7"}
     assert got["Q:Q6"] == "Q6" and got["Q:Q7"] == "Q7"
+
+
+def test_gendered_anaphora_agreement(stages):
+    """anaphora.cc gender agreement: he/his/him resolve only to MASC
+    entities, she/her/hers only to FEM, it/this only to genderless."""
+    from sling_spark.sources.kb import gender_lookup
+
+    g = gender_lookup()
+    anaphors = [
+        r for r in stages["mentions"].collect() if r["anaphora"]
+    ]
+    assert anaphors
+    saw = set()
+    for m in anaphors:
+        w = m["phrase"].casefold()
+        want = 1 if w in ("he", "his", "him") else 2 if w in ("she", "her", "hers") else 0
+        assert g.get(m["entity"], 0) == want, (w, m["entity"])
+        saw.add(want)
+    # the corpus exercises all three agreement classes
+    assert saw == {0, 1, 2}
