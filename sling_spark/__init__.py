@@ -28,7 +28,12 @@ Package layout
                   tables.
 - ``streaming/``  Structured Streaming equivalents of the incremental
                   paths.
+- ``multimodal/`` binary-column (image/audio) plumbing; codecs stubbed.
 - ``plans/``      plan-inspection helpers (explain/pushdown assertions).
+- ``workflow.py`` the reference workflow-builder facade (map/filter/
+                  shuffle/reduce/mapreduce over DataFrames).
+- ``serving.py``  KB query/serving views (item fetch, phrase lookup,
+                  name prefix search).
 """
 
 __version__ = "0.1.0"
