@@ -73,3 +73,56 @@ def subject_triples_sql(spark: SparkSession) -> DataFrame:
         FROM triples GROUP BY subj, source ORDER BY n_triples DESC, subj
         """
     )
+
+
+def render_document(
+    spark: SparkSession, repo: str, path: str, format: str = "lex"
+) -> DataFrame:
+    """Annotated-document rendering (the knowledge-service document view,
+    knowledge-service.cc document endpoints): one document's tokens +
+    resolved mentions as LEX or simplified HTML markup. Requires the
+    ``documents`` (raw layout) and ``mentions`` views to be registered."""
+    from .functions.lex import render_lex, to_html
+    from .functions.tokenize import tokenize
+
+    docs = spark.sql(
+        "SELECT repo, path, commit, content FROM documents WHERE repo = ? AND path = ?",
+        args=[repo, path],
+    )
+    mentions = spark.sql(
+        "SELECT repo, path, commit, begin, `end`, entity FROM mentions "
+        "WHERE repo = ? AND path = ?",
+        args=[repo, path],
+    )
+    if format == "lex":
+        return render_lex(docs, mentions)
+
+    joined = docs.join(
+        mentions.groupBy("repo", "path", "commit").agg(
+            F.collect_list(F.struct("begin", "end", "entity")).alias("spans")
+        ),
+        on=["repo", "path", "commit"],
+        how="left",
+    )
+
+    def render_html(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = tokenize(r.content)
+                spans = [
+                    (s["begin"], s["end"], s["entity"])
+                    for s in (r.spans if r.spans is not None else ())
+                ]
+                rows.append(
+                    {"repo": r.repo, "path": r.path, "commit": r.commit,
+                     "html": to_html([t.word for t in toks],
+                                     [t.brk for t in toks], spans)}
+                )
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "html"])
+
+    return joined.mapInPandas(
+        render_html, schema="repo string, path string, commit string, html string"
+    )

@@ -36,8 +36,12 @@ ALIAS_SCHEMA = "entity string, alias string, lang string, is_label boolean"
 def convert_time(value: dict) -> str | None:
     """wikibase time → our date string ('+1958-03-14T00:00:00Z', p=11
     → '1958-03-14'; p=8 → '195*'; p=7 → '19**'; p=6 → '1***')."""
-    t = value.get("time") or ""
+    t = value.get("time")
+    if not isinstance(t, str):
+        return None
     precision = value.get("precision", 11)
+    if not isinstance(precision, int):
+        precision = 11
     neg = t.startswith("-")
     t = t.lstrip("+-")
     date, _, _ = t.partition("T")
@@ -80,11 +84,12 @@ def convert_datavalue(datavalue: dict) -> str | None:
     if dtype == "quantity":
         amount = str(value.get("amount", "")).lstrip("+")
         unit = value.get("unit", "1")
-        if unit and unit != "1":
+        if isinstance(unit, str) and unit and unit != "1":
             return f"{amount}@{unit.rsplit('/', 1)[-1]}"
         return amount
     if dtype == "monolingualtext":
-        return value.get("text")
+        text = value.get("text")
+        return text if isinstance(text, str) else None
     if dtype == "globecoordinate":
         lat, lon = value.get("latitude"), value.get("longitude")
         return None if lat is None or lon is None else f"{lat},{lon}"
@@ -92,40 +97,56 @@ def convert_datavalue(datavalue: dict) -> str | None:
     #              on a dirty dump we drop instead of aborting the job)
 
 
+def _as_dict(v) -> dict:
+    return v if isinstance(v, dict) else {}
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else []
+
+
 def parse_item(obj: dict, lang: str = "en") -> tuple[dict, list[dict]] | None:
-    """One wikibase JSON item → (item row, alias rows)."""
-    qid = obj.get("id")
-    if not qid:
+    """One wikibase JSON item → (item row, alias rows). Total over
+    arbitrarily malformed JSON (dirty-dump tolerance): any field of the
+    wrong shape is treated as absent, never raised on."""
+    if not isinstance(obj, dict):
         return None
-    labels = obj.get("labels") or {}
+    qid = obj.get("id")
+    if not qid or not isinstance(qid, str):
+        return None
+    labels = _as_dict(obj.get("labels"))
     label = labels.get(lang) or next(iter(labels.values()), None)
     name = label.get("value") if isinstance(label, dict) else None
+    if not isinstance(name, str):
+        name = None
 
     aliases = [
         {"entity": qid, "alias": name, "lang": lang, "is_label": True}
     ] if name else []
-    for al in (obj.get("aliases") or {}).get(lang, []) or []:
+    for al in _as_list(_as_dict(obj.get("aliases")).get(lang)):
         v = al.get("value") if isinstance(al, dict) else None
-        if v:
+        if isinstance(v, str) and v:
             aliases.append({"entity": qid, "alias": v, "lang": lang, "is_label": False})
 
     statements = []
     types = []
-    for pid, stmts in (obj.get("claims") or {}).items():
-        for st in stmts or []:
-            snak = st.get("mainsnak") or {}
+    for pid, stmts in _as_dict(obj.get("claims")).items():
+        for st in _as_list(stmts):
+            if not isinstance(st, dict):
+                continue
+            snak = _as_dict(st.get("mainsnak"))
             datavalue = snak.get("datavalue")
-            if not datavalue:
+            if not isinstance(datavalue, dict):
                 continue  # somevalue / novalue snaks carry no datavalue
             obj_val = convert_datavalue(datavalue)
             if obj_val is None:
                 continue
             rank = st.get("rank", "normal")
             quals: dict[str, str] = {}
-            for qpid, qstmts in (st.get("qualifiers") or {}).items():
-                for q in qstmts or []:
-                    qv = q.get("datavalue")
-                    if qv:
+            for qpid, qstmts in _as_dict(st.get("qualifiers")).items():
+                for q in _as_list(qstmts):
+                    qv = q.get("datavalue") if isinstance(q, dict) else None
+                    if isinstance(qv, dict):
                         qval = convert_datavalue(qv)
                         if qval is not None:
                             quals[qpid] = qval

@@ -200,3 +200,35 @@ def test_parse_number_never_crashes_and_sign_consistent(s):
             assert isinstance(v, (int, float))
             if s.strip().startswith("-") and v != 0:
                 assert v < 0
+
+
+_json_scalars = st.one_of(st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False), st.text(max_size=8))
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(max_size=6), children, max_size=3),
+    ),
+    max_leaves=12,
+)
+
+
+@given(st.dictionaries(
+    st.sampled_from(["id", "labels", "aliases", "claims", "descriptions", "junk"]),
+    _json_values, max_size=5,
+))
+@settings(max_examples=200, deadline=None)
+def test_wikidata_parse_item_total(obj):
+    """parse_item is total over arbitrary JSON-shaped garbage: returns
+    None or a well-formed (item, aliases) pair, never raises — the
+    dirty-dump tolerance the importer claims."""
+    from sling_spark.sources.wikidata import parse_item
+
+    out = parse_item(obj)
+    if out is None:
+        return
+    item, aliases = out
+    assert isinstance(item["id"], str) and item["id"]
+    assert isinstance(item["statements"], list)
+    for a in aliases:
+        assert set(a) == {"entity", "alias", "lang", "is_label"}

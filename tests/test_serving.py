@@ -36,3 +36,22 @@ def test_serving_lookups(spark):
 
     top = serving.subject_triples_sql(spark).collect()
     assert top[0]["n_triples"] >= top[-1]["n_triples"]
+
+
+def test_render_document_lex_and_html(spark):
+    from sling_spark import serving
+    from sling_spark.kg.pipeline import run_pipeline
+
+    res = run_pipeline(spark, n_files=30)
+    serving.register_views(
+        spark, {"documents": res["documents"], "mentions": res["mentions"]}
+    )
+    target = spark.sql(
+        "SELECT m.repo, m.path FROM mentions m GROUP BY 1, 2 ORDER BY count(*) DESC, 1, 2 LIMIT 1"
+    ).first()
+    lex = serving.render_document(spark, target["repo"], target["path"]).first()
+    assert "[" in lex["lex"] and "|Q" in lex["lex"]
+    html = serving.render_document(
+        spark, target["repo"], target["path"], format="html"
+    ).first()
+    assert '<a ref="Q' in html["html"] and "</a>" in html["html"]
