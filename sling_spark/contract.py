@@ -1482,6 +1482,60 @@ def _sql_kg_lex() -> str:
     return f"SELECT repo, path, lex FROM (VALUES {values}) AS t(repo, path, lex)"
 
 
+def q_kg_stream_triples(spark, sf_dir):
+    """STREAMING KG construction end-to-end, value-hash verified: the
+    40-file corpus arrives as two availableNow file-source increments
+    (exactly-once, checkpointed); the streamed document triples are then
+    canonicalized and unioned with the KB statements exactly like the
+    batch pipeline — and must reproduce the SAME distinct triple set, so
+    this query shares kg_triples' independent-oracle VALUES gold."""
+    import tempfile
+
+    from .kg.assets import build_assets, seed_dataframes
+    from .kg.documents import build_documents, latest_versions
+    from .kg.reconcile import kb_triples, merge_items, reconcile_items
+    from .kg.xref import build_clusters, canonicalize
+    from .sources.corpus import corpus_df
+    from .streaming.kg_stream import (
+        annotate_stream,
+        read_corpus_stream,
+        run_to_parquet,
+        stream_triples,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="kg_stream_contract")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+
+    full = latest_versions(corpus_df(spark, 40, partitions=4)).persist()
+    seed = seed_dataframes(spark)
+    assets_bc, _ = build_assets(spark, build_documents(full), seed)
+
+    # increment 1: half the files; increment 2: the rest
+    full.filter(F.xxhash64("path") % 2 == 0).write.parquet(src)
+    run_to_parquet(
+        stream_triples(annotate_stream(read_corpus_stream(spark, src), assets_bc)),
+        out, ckpt,
+    )
+    full.filter(F.xxhash64("path") % 2 != 0).write.mode("append").parquet(src)
+    run_to_parquet(
+        stream_triples(annotate_stream(read_corpus_stream(spark, src), assets_bc)),
+        out, ckpt,
+    )
+
+    streamed = spark.read.parquet(out)
+    clusters = build_clusters(seed["same_as"])
+    doc_t = canonicalize(canonicalize(streamed, clusters, "subj"), clusters, "obj")
+    all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
+        seed["fragments"]
+    )
+    kb_t = kb_triples(merge_items(reconcile_items(all_items, clusters)))
+    return (
+        doc_t.unionByName(kb_t, allowMissingColumns=True)
+        .select("subj", "pred", "obj", "source")
+        .distinct()
+    )
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1542,6 +1596,7 @@ def queries():
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_lex": q_kg_lex,
+        "kg_stream_triples": q_kg_stream_triples,
     }
     return {name: _with_session_conf(fn) for name, fn in out.items()}
 
@@ -1590,4 +1645,6 @@ def oracle_sql():
         "emb_ann_ivf": _SQL_ANN_IVF,
         "kg_biaffine_spans": _sql_biaffine(),
         "kg_lex": _sql_kg_lex(),
+        # streaming reproduces the batch triples -> same independent gold
+        "kg_stream_triples": _sql_kg_triples(),
     }

@@ -232,3 +232,36 @@ def test_wikidata_parse_item_total(obj):
     assert isinstance(item["statements"], list)
     for a in aliases:
         assert set(a) == {"entity", "alias", "lang", "is_label"}
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_warc_parser_total_on_garbage(data):
+    """parse_warc_records never raises on arbitrary bytes (dirty-crawl
+    tolerance) and every yielded payload length matches Content-Length."""
+    from sling_spark.sources.readers import parse_warc_records
+
+    for headers, payload in parse_warc_records(data):
+        assert isinstance(headers, dict)
+        assert len(payload) <= int(headers.get("content-length", 0))
+
+
+@given(st.lists(st.tuples(st.binary(max_size=40), st.binary(max_size=60)), max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_warc_roundtrip_arbitrary_payloads(recs):
+    """Well-formed records with ARBITRARY binary payloads (incl. ones
+    containing 'WARC/' and CRLFs) parse back exactly: Content-Length
+    framing, not delimiter scanning."""
+    from sling_spark.sources.readers import parse_warc_records
+
+    blob = b""
+    for i, (_uri, body) in enumerate(recs):
+        blob += (
+            b"WARC/1.0\r\nWARC-Record-ID: <r" + str(i).encode() + b">\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+    got = list(parse_warc_records(blob))
+    assert len(got) == len(recs)
+    for (h, payload), (_uri, body) in zip(got, recs):
+        assert payload == body
