@@ -82,6 +82,17 @@ def split_by_kind(df: DataFrame, kind_col: str, kinds: list[str]) -> dict[str, D
     return {k: df.filter(F.col(kind_col) == k) for k in kinds}
 
 
+@register("document-prologue")
+def document_prologue(documents: DataFrame, content_col: str = "content") -> DataFrame:
+    """Truncate each document to its first section — everything before
+    the first markdown heading line (DocumentPrologueAnnotator,
+    sling/nlp/silver/filters.cc:60-83: keep tokens up to the first
+    HEADING_BEGIN; our corpus marks sections with '## ' lines). Pure
+    Catalyst: one split, no Python."""
+    prologue = F.element_at(F.split(F.col(content_col), r"\n#{1,6} ", 2), 1)
+    return documents.withColumn(content_col, prologue)
+
+
 def run_chain(df: DataFrame, chain: list[tuple[str, dict]], **tables) -> DataFrame:
     """Execute a named annotator chain (the silver.py:105-169 analog):
     chain = [("types", {"items": items_df}), ("prune-low-score", {})]."""

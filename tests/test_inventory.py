@@ -161,3 +161,22 @@ def test_biaffine_batched_scoring(spark):
     spans = score_spans(docs, scorer, threshold=3.0)
     rows = spans.collect()
     assert all(r["end"] > r["begin"] for r in rows)
+
+
+def test_document_prologue(spark):
+    """filters.cc DocumentPrologueAnnotator: content truncated at the
+    first heading; heading-less documents pass through unchanged."""
+    from sling_spark.kg.annotators import ANNOTATORS
+
+    df = spark.createDataFrame(
+        [
+            ("a.md", "intro text\nmore intro\n## Section One\nbody\n## Two\nrest"),
+            ("b.md", "no headings at all\njust text"),
+            ("c.md", "#!shebang-ish\n### Deep heading\ntail"),
+        ],
+        "path string, content string",
+    )
+    out = {r["path"]: r["content"] for r in ANNOTATORS["document-prologue"](df).collect()}
+    assert out["a.md"] == "intro text\nmore intro"
+    assert out["b.md"] == "no headings at all\njust text"
+    assert out["c.md"] == "#!shebang-ish"
