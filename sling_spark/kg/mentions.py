@@ -411,3 +411,29 @@ def detect_mentions(
 ) -> DataFrame:
     """Mentions only (the standalone stage used by tests/queries)."""
     return mentions_of(annotate(documents, assets_bc, min_idf, max_span))
+
+
+def annotate_text(text: str, assets: KbAssets) -> dict:
+    """Per-record entry point (SURVEY.md §3.2 — the reference's
+    ``parser.parse(text)`` / ``analyzer.annotate(doc)`` one-shot API,
+    doc/guide/pyapi.md): tokenize one string and run the full annotator
+    chain in-process, no Spark. Returns {tokens, mentions, relations,
+    lex} — the same dict shapes the distributed path emits, so callers
+    can switch between one document and 10^12 without code changes."""
+    from ..functions.lex import to_lex
+    from ..functions.tokenize import tokenize
+
+    toks = tokenize(text)
+    mentions, relations = annotate_document(
+        [t.word for t in toks],
+        [t.brk for t in toks],
+        [t.fp for t in toks],
+        [t.form for t in toks],
+        assets,
+    )
+    lex = to_lex(
+        [t.word for t in toks],
+        [t.brk for t in toks],
+        [(m["begin"], m["end"], m["entity"]) for m in mentions],
+    )
+    return {"tokens": toks, "mentions": mentions, "relations": relations, "lex": lex}

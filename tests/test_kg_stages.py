@@ -181,3 +181,22 @@ def test_gendered_anaphora_agreement(stages):
         saw.add(want)
     # the corpus exercises all three agreement classes
     assert saw == {0, 1, 2}
+
+
+def test_annotate_text_per_record_entry(stages):
+    """§3.2 per-record entry: one-shot annotate of a single string using
+    the broadcast assets — same shapes as the distributed path."""
+    from sling_spark.kg.mentions import annotate_text
+
+    out = annotate_text(
+        "# Apache Spark depends on Hadoop at runtime\n"
+        "# it is maintained by Apache engineers\n",
+        stages["assets"],
+    )
+    ents = {m["entity"] for m in out["mentions"]}
+    assert {"Q1", "Q2"} <= ents
+    # the "it" anaphor resolved and produced a relation subject
+    assert any(m["anaphora"] and m["entity"] == "Q1" for m in out["mentions"])
+    assert any(r["subj"] == "Q1" and r["pred"] == "P1" and r["obj"] == "Q2"
+               for r in out["relations"])
+    assert "[Apache Spark|Q1]" in out["lex"]
