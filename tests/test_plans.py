@@ -108,3 +108,17 @@ def test_documents_stage_is_pure_catalyst(spark):
     stats = doc_stats(raw)
     splan = formatted_plan(stats)
     assert "MapInPandas" in splan  # the one sanctioned Python pass
+
+
+def test_scale_critical_session_confs(spark):
+    """Pin the confs the 100 TB design depends on: AQE (runtime replan +
+    skew-join splitting + partition coalescing), Arrow for every pandas
+    UDF path, UTC session time, and a sane shuffle width. A silent
+    default regression here degrades every operator at scale even
+    though results stay correct."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(conf.get("spark.sql.shuffle.partitions")) >= 4
