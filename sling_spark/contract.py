@@ -1482,6 +1482,62 @@ def _sql_kg_lex() -> str:
     return f"SELECT repo, path, lex FROM (VALUES {values}) AS t(repo, path, lex)"
 
 
+def q_orders_cdc_upsert(spark, sf_dir):
+    """CDC MERGE emulation (SURVEY §2.10 epoch deltas; Iceberg MERGE INTO
+    on a lake without it): a deterministic change feed (updates for
+    keys%97=0, deletes for %101=0, inserts with shifted keys for %103=0)
+    applied onto the orders table via anti-join + union — delete keys
+    drop, upserts win, everything else survives. Prices as integer cents
+    (exact cross-engine arithmetic)."""
+    from .operators.upsert import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("price_cents") + 100000).alias("price_cents"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey", "o_custkey", "price_cents", F.lit("D").alias("op")
+    )
+    inserts = base.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "price_cents", F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return apply_cdc(base, changes, ["o_orderkey"])
+
+
+_SQL_CDC = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, price_cents + 100000 AS price_cents, 'U' AS op
+  FROM base WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, price_cents, 'D' FROM base WHERE o_orderkey % 101 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, price_cents, 'I'
+  FROM base WHERE o_orderkey % 103 = 0
+),
+del_keys AS (SELECT DISTINCT o_orderkey FROM changes WHERE op = 'D'),
+upserts AS (SELECT o_orderkey, o_custkey, price_cents FROM changes WHERE op <> 'D'),
+kept AS (
+  SELECT b.o_orderkey, b.o_custkey, b.price_cents FROM base b
+  LEFT JOIN del_keys d ON b.o_orderkey = d.o_orderkey
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM upserts) u ON b.o_orderkey = u.o_orderkey
+  WHERE d.o_orderkey IS NULL AND u.o_orderkey IS NULL
+)
+SELECT * FROM kept UNION ALL SELECT * FROM upserts
+"""
+
+
 def q_kg_stream_triples(spark, sf_dir):
     """STREAMING KG construction end-to-end, value-hash verified: the
     40-file corpus arrives as two availableNow file-source increments
@@ -1568,6 +1624,7 @@ def queries():
         "parts_anti_join": q_parts_anti_join,
         "order_status_pivot": q_order_status_pivot,
         "events_asof_signup": q_events_asof_signup,
+        "orders_cdc_upsert": q_orders_cdc_upsert,
         "lineitem_rollup": q_lineitem_rollup,
         "lineitem_quantiles": q_lineitem_quantiles,
         "events_sessionize": q_events_sessionize,
@@ -1612,6 +1669,7 @@ def oracle_sql():
         "parts_anti_join": _SQL_ANTI,
         "order_status_pivot": _SQL_PIVOT,
         "events_asof_signup": _SQL_ASOF,
+        "orders_cdc_upsert": _SQL_CDC,
         "lineitem_rollup": _SQL_ROLLUP,
         "lineitem_quantiles": _SQL_QUANTILES,
         "events_sessionize": _SQL_SESSIONIZE,
