@@ -85,16 +85,21 @@ def doc_stats(documents_raw: DataFrame) -> DataFrame:
     Feeds idf_table (fp_unique) and extraction metrics (n_tokens)."""
 
     def tok(batches):
+        import numpy as np
+
+        from ..functions.tokenize import tokenize_arrays
+
         for pdf in batches:
             data = {"repo": [], "path": [], "commit": [], "n_tokens": [],
                     "fp_unique": []}
             for row in pdf.itertuples(index=False):
-                toks = tokenize(row.content)
+                fps = tokenize_arrays(row.content).fps
+                uniq = np.unique(fps)  # sorted distinct
                 data["repo"].append(row.repo)
                 data["path"].append(row.path)
                 data["commit"].append(row.commit)
-                data["n_tokens"].append(len(toks))
-                data["fp_unique"].append(sorted({t.fp for t in toks if t.fp > 1}))
+                data["n_tokens"].append(len(fps))
+                data["fp_unique"].append(uniq[uniq > 1].tolist())
             yield pd.DataFrame(data, columns=list(data))
 
     return documents_raw.select("repo", "path", "commit", "content").mapInPandas(

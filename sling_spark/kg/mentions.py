@@ -33,12 +33,14 @@ call (SURVEY.md §4 risk #4).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
+from ..functions.fingerprint import FP_SKIPPED
 from ..functions.normalize import CASE_NONE
 from ..sources.kb import BLOCKED_PROPERTIES, PROPERTY_PRIORITY
 
@@ -94,18 +96,191 @@ class KbAssets:
     gender: dict[str, int] | None = None  # entity -> G_* (anaphora agreement)
 
 
-def _sentence_bounds(brks: list[int]) -> list[tuple[int, int]]:
+def _sentence_bounds(brks) -> list[tuple[int, int]]:
     n = len(brks)
     if n == 0:
         return []
-    bounds = []
-    start = 0
-    for i in range(1, n):
-        if brks[i] >= 2:  # BREAK_SENTENCE
-            bounds.append((start, i))
-            start = i
-    bounds.append((start, n))
-    return bounds
+    cuts = np.nonzero(np.asarray(brks[1:]) >= 2)[0] + 1  # BREAK_SENTENCE
+    starts = [0, *cuts.tolist()]
+    return list(zip(starts, starts[1:] + [n]))
+
+
+# uint64 constants for the vectorized FingerprintCat (fingerprint.py:55 —
+# identical low-63-bit arithmetic: uint64 multiply wraps mod 2^64, the
+# 63-bit mask then matches Python's arbitrary-precision `& _MASK63`)
+_MULT_U64 = np.uint64(0x9E3779B97F4A7C15)
+_MASK63_U64 = np.uint64((1 << 63) - 1)
+_SKIP_U64 = np.uint64(FP_SKIPPED)
+_TWO_U64 = np.uint64(2)
+
+_PRIO = {p: i for i, p in enumerate(PROPERTY_PRIORITY)}
+
+
+@lru_cache(maxsize=1 << 18)
+def _pron_code(word: str) -> int:
+    """Pronoun gender code of a token, or -1 (cached per unique word)."""
+    return PRONOUN_GENDER.get(word.casefold(), -1)
+
+
+class _NpAssets:
+    """Executor-side derived lookup arrays: sorted key arrays for the
+    vectorized membership/IDF probes plus the per-entity ordered-facts
+    cache (pure function of the broadcast assets, so safe to share
+    across documents/batches within a Python worker)."""
+
+    __slots__ = ("pt_keys", "idf_keys", "idf_vals", "ordered_facts")
+
+    def __init__(self, assets: "KbAssets"):
+        self.pt_keys = np.sort(
+            np.fromiter(assets.phrase_table.keys(), dtype=np.uint64,
+                        count=len(assets.phrase_table))
+        )
+        ik = np.fromiter(assets.idf.keys(), dtype=np.uint64, count=len(assets.idf))
+        iv = np.fromiter(assets.idf.values(), dtype=np.float64, count=len(assets.idf))
+        order = np.argsort(ik)
+        self.idf_keys = ik[order]
+        self.idf_vals = iv[order]
+        self.ordered_facts: dict[str, list] = {}
+
+
+def _np_assets(assets: "KbAssets") -> _NpAssets:
+    npa = getattr(assets, "_npa", None)
+    if npa is None:
+        npa = _NpAssets(assets)
+        assets._npa = npa  # plain (non-frozen) dataclass — cache on instance
+    return npa
+
+
+def _enumerate_candidates(
+    fps: np.ndarray,  # uint64 token fingerprints (whole batch, docs concatenated)
+    forms: np.ndarray,  # int8 case forms
+    alpha: np.ndarray,  # bool has-letter
+    lower: np.ndarray,  # bool word.islower()
+    sent_start: np.ndarray,  # bool: token opens a sentence (or a document)
+    npa: _NpAssets,
+    min_idf: float,
+    max_span: int,
+):
+    """Vectorized SpanPopulator + CommonWordPruner (mentions.cc:45-100,
+    mentions.h:126) over the concatenated token arrays of a whole Arrow
+    batch: for each span length l the fingerprint-cat fold, case-form
+    fold, sentence guard, phrase-table membership (searchsorted on the
+    sorted key array) and the single-lowercase-token IDF prune all run
+    as array ops — no per-token Python. Returns (begin, end, fp, form)
+    candidate arrays sorted by begin; semantics are bit-identical to the
+    scalar loop (parity-tested in tests/test_kg_stages.py)."""
+    n = fps.shape[0]
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.uint64), np.zeros(0, np.int8))
+    if n == 0 or npa.pt_keys.size == 0:
+        return empty
+    sent_id = np.cumsum(sent_start)
+    valid_start = fps != _SKIP_U64
+
+    # IDF prune mask (only consulted at l == 1): prune when the token HAS
+    # an IDF entry and it is below threshold (mentions.py scalar rule)
+    if npa.idf_keys.size:
+        pos = np.minimum(np.searchsorted(npa.idf_keys, fps), npa.idf_keys.size - 1)
+        idf_low = (npa.idf_keys[pos] == fps) & (npa.idf_vals[pos] < min_idf)
+    else:
+        idf_low = np.zeros(n, dtype=bool)
+
+    # per-token initial form state: 0 = no alpha (no-op), -1 = alpha with
+    # mixed/none case, f>0 = alpha with definite case form
+    f0 = np.where(alpha, np.where(forms == CASE_NONE, np.int8(-1), forms),
+                  np.int8(0)).astype(np.int8)
+
+    outs: list[tuple] = []
+    span_fp = fps  # entry b = fp of span [b, b+l) for the current l
+    state = f0
+    for l in range(1, max_span + 1):
+        m = n - l + 1
+        if m <= 0:
+            break
+        if l > 1:
+            t = fps[l - 1:]
+            prev = span_fp[:m]
+            cat = ((prev * _MULT_U64) & _MASK63_U64) ^ t
+            cat = np.where(cat == 0, _TWO_U64, cat)
+            span_fp = np.where(t == _SKIP_U64, prev, cat)
+            tf = f0[l - 1:]
+            prev_s = state[:m]
+            state = np.where(
+                tf == 0, prev_s,
+                np.where(prev_s == 0, tf,
+                         np.where(prev_s == tf, prev_s, np.int8(-1))),
+            )
+        sf = span_fp if l > 1 else span_fp[:m]
+        st = state if l > 1 else state[:m]
+        pos = np.minimum(np.searchsorted(npa.pt_keys, sf), npa.pt_keys.size - 1)
+        hit = (npa.pt_keys[pos] == sf) & valid_start[:m]
+        if l == 1:
+            hit &= ~(lower & idf_low)
+        else:
+            # span must END on a non-skipped token and stay in-sentence
+            hit &= (fps[l - 1:] != _SKIP_U64) & (sent_id[l - 1:] == sent_id[:m])
+        idx = np.nonzero(hit)[0]
+        if idx.size:
+            form = np.where(st[idx] > 0, st[idx], np.int8(CASE_NONE))
+            outs.append((idx, idx + l, sf[idx], form))
+    if not outs:
+        return empty
+    b = np.concatenate([o[0] for o in outs])
+    e = np.concatenate([o[1] for o in outs])
+    fp = np.concatenate([o[2] for o in outs])
+    form = np.concatenate([o[3] for o in outs])
+    order = np.argsort(b, kind="stable")
+    return b[order], e[order], fp[order], form[order]
+
+
+def _solve_cover(cands: list[tuple[int, int, int, int]], n: int):
+    """SpanChart::Solve (chart.cc:52-98) as a COMPRESSED DP: dp grows
+    linearly (skip cost per token) between candidate ends, so only
+    candidate-end positions are evaluated — O(#candidates log) instead
+    of O(sentence length). Tie-breaking replicates the dense loop:
+    a span must be STRICTLY cheaper than skipping, candidates at one end
+    are tried in ascending (begin, fp, form) order, and backtracking
+    from the sentence end takes the latest chosen end each time.
+    ``cands``: (begin, end, fp, form) sentence-relative; returns chosen
+    spans in left-to-right order."""
+    if not cands:
+        return []
+    from bisect import bisect_right
+
+    by_end: dict[int, list[tuple[int, int, int]]] = {}
+    for b, e, fp, form in cands:
+        by_end.setdefault(e, []).append((b, fp, form))
+
+    pts_pos = [0]
+    pts_val = [0.0]
+    choice_at: dict[int, tuple[int, int, int]] = {}
+
+    def dp_at(p: int) -> float:
+        i = bisect_right(pts_pos, p) - 1
+        return pts_val[i] + TOKEN_SKIP_COST * (p - pts_pos[i])
+
+    for e in sorted(by_end):
+        cost = dp_at(e - 1) + TOKEN_SKIP_COST
+        choice = None
+        for cand in sorted(by_end[e]):
+            c = dp_at(cand[0]) + SPAN_COST
+            if c < cost:
+                cost, choice = c, cand
+        pts_pos.append(e)
+        pts_val.append(cost)
+        if choice is not None:
+            choice_at[e] = choice
+
+    spans: list[tuple[int, int, int, int]] = []
+    cur = n
+    for e in sorted(choice_at, reverse=True):
+        if e > cur:
+            continue
+        b, fp, form = choice_at[e]
+        spans.append((b, e, fp, form))
+        cur = b
+    spans.reverse()
+    return spans
 
 
 def annotate_document(
@@ -119,78 +294,83 @@ def annotate_document(
 ) -> tuple[list[dict], list[dict]]:
     """Annotator chain for one document over parallel token arrays.
     Returns (mentions, relations); span offsets are token indices."""
+    from ..functions.tokenize import word_attrs
+
+    n = len(words)
+    fps_a = np.asarray(fps, dtype=np.uint64)
+    forms_a = np.asarray(forms, dtype=np.int8)
+    brks_a = np.asarray(brks, dtype=np.int8)
+    if n:
+        attrs = [word_attrs(w) for w in words]
+        alpha = np.fromiter((a[2] for a in attrs), dtype=bool, count=n)
+        lower = np.fromiter((a[3] for a in attrs), dtype=bool, count=n)
+    else:
+        alpha = lower = np.zeros(0, dtype=bool)
+    sent_start = brks_a >= 2
+    if n:
+        sent_start = sent_start.copy()
+        sent_start[0] = True
+    npa = _np_assets(assets)
+    cb, ce, cfp, cform = _enumerate_candidates(
+        fps_a, forms_a, alpha, lower, sent_start, npa, min_idf, max_span
+    )
+    return _annotate_from_candidates(
+        words, brks_a, fps_a, forms_a, (cb, ce, cfp, cform), assets, npa
+    )
+
+
+def _annotate_from_candidates(
+    words: list[str],
+    brks: np.ndarray,
+    fps: np.ndarray,
+    forms: np.ndarray,
+    cands: tuple,
+    assets: KbAssets,
+    npa: _NpAssets,
+) -> tuple[list[dict], list[dict]]:
+    """Stages 3-5 for ONE document given its pre-enumerated candidate
+    spans (document-relative): DP cover per sentence, then the
+    order-dependent resolver / anaphora / relation stages — sequential
+    within the document by design (resolver context, SURVEY.md §4 risk
+    #4), over candidate spans only (no per-token work)."""
     phrase_table = assets.phrase_table
-    idf_tab = assets.idf
     popularity = assets.popularity
     links = assets.links
     statements = assets.statements
-    prio = {p: i for i, p in enumerate(PROPERTY_PRIORITY)}
+    prio = _PRIO
+    ordered_facts = npa.ordered_facts
 
+    cb, ce, cfp, cform = cands
     context: dict[str, float] = {}
     mentioned: set[str] = set()
     mentions: list[dict] = []
     relations: list[dict] = []
-    # per-token alpha flags once (each token is otherwise re-scanned up to
-    # max_span times in the span loop — ~30% of annotation CPU, profiled)
-    has_alpha = [any(c.isalpha() for c in w) for w in words]
-    ordered_facts: dict[str, list] = {}  # per-doc cache of sorted statements
 
-    for s_idx, (sb, se) in enumerate(_sentence_bounds(brks)):
+    bounds = _sentence_bounds(brks)
+    if cb.size:
+        # one vectorized pass assigns candidates to sentences (cands are
+        # sorted by begin and never cross a sentence boundary); plain
+        # Python lists from here on — no per-candidate NumPy indexing
+        starts = np.fromiter((b for b, _ in bounds), dtype=np.int64,
+                             count=len(bounds))
+        cuts = np.searchsorted(cb, starts).tolist()
+        cuts.append(cb.size)
+        cb_l, ce_l = cb.tolist(), ce.tolist()
+        cfp_l, cform_l = cfp.tolist(), cform.tolist()
+    else:
+        cuts = [0] * (len(bounds) + 1)
+
+    for s_idx, (sb, se) in enumerate(bounds):
         n = se - sb
-        # ---- 1/2: candidate spans ------------------------------------
-        ends: dict[int, list[tuple[int, int, int]]] = {}
-        for b in range(n):
-            if fps[sb + b] == FP_SKIPPED:
-                continue
-            fp = 0
-            has_alpha_mixed = 0  # 0 unset, else running shared form or -1
-            for l in range(1, min(max_span, n - b) + 1):
-                i = sb + b + l - 1
-                tfp = fps[i]
-                w = words[i]
-                if has_alpha[i]:
-                    f = forms[i]
-                    if has_alpha_mixed == 0:
-                        has_alpha_mixed = f if f != CASE_NONE else -1
-                    elif has_alpha_mixed != f:
-                        has_alpha_mixed = -1
-                if tfp == FP_SKIPPED:
-                    continue
-                fp = tfp if fp == 0 else fingerprint_cat(fp, tfp)
-                if fp not in phrase_table:
-                    continue
-                if l == 1 and w.islower():
-                    v = idf_tab.get(tfp)
-                    if v is not None and v < min_idf:
-                        continue
-                form = has_alpha_mixed if has_alpha_mixed > 0 else CASE_NONE
-                ends.setdefault(b + l, []).append((b, fp, form))
-
-        # ---- 3: DP minimum-cost cover ---------------------------------
-        INF = float("inf")
-        dp = [0.0] + [INF] * n
-        back: list[tuple | None] = [None] * (n + 1)
-        for e in range(1, n + 1):
-            cost = dp[e - 1] + TOKEN_SKIP_COST
-            choice = None
-            cands = ends.get(e)
-            if cands:
-                for b, fp, form in sorted(cands):
-                    c = dp[b] + SPAN_COST
-                    if c < cost:
-                        cost, choice = c, (b, fp, form)
-            dp[e] = cost
-            back[e] = choice
-        spans: list[tuple[int, int, int, int]] = []
-        e = n
-        while e > 0:
-            ch = back[e]
-            if ch is None:
-                e -= 1
-            else:
-                spans.append((ch[0], e, ch[1], ch[2]))
-                e = ch[0]
-        spans.reverse()
+        lo, hi = cuts[s_idx], cuts[s_idx + 1]
+        if hi > lo:
+            sent_cands = [
+                (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k])
+                for k in range(lo, hi)
+            ]
+            spans = _solve_cover(sent_cands, n)
+        else:
+            spans = []
 
         # ---- 4: resolve, left to right --------------------------------
         sent_mentions: list[tuple[int, int, str]] = []  # (begin_abs, end_abs, entity)
@@ -241,10 +421,9 @@ def annotate_document(
         anaphors: list[tuple[int, int, str]] = []
         covered = {i for b, e, _ent in sent_mentions for i in range(b, e)}
         for i in range(sb, se):
-            w = words[i].casefold()
-            if i in covered or w not in PRONOUN_GENDER:
+            pgender = _pron_code(words[i])
+            if pgender < 0 or i in covered:
                 continue
-            pgender = PRONOUN_GENDER[w]
             antecedent = None
             prev_sent = s_idx
             for m in reversed(mentions):
@@ -269,10 +448,10 @@ def annotate_document(
                     "begin": i,
                     "end": i + 1,
                     "phrase": words[i],
-                    "fp": fps[i],
+                    "fp": int(fps[i]),
                     "entity": antecedent["entity"],
                     "score": 0.0,
-                    "form": forms[i],
+                    "form": int(forms[i]),
                     "anaphora": True,
                 }
             )
@@ -330,32 +509,58 @@ def annotate(
             "entity", "score", "form", "anaphora", "pred", "obj"]
 
     def run(batches):
-        from ..functions.tokenize import tokenize
+        from ..functions.tokenize import tokenize_arrays
 
         assets = assets_bc.value
+        npa = _np_assets(assets)
         for pdf in batches:
             data = {c: [] for c in cols}
-            for row in pdf.itertuples(index=False):
-                # tokenize in-process (0.8ms/doc) instead of shipping
-                # token arrays through Arrow (~2ms/doc measured) — the
-                # tokenizer is deterministic, so the documents table's
-                # n_tokens/fp_unique stay consistent with this pass
-                toks = tokenize(row.content)
-                words = [t.word for t in toks]
-                ms, rs = annotate_document(
-                    words,
-                    [t.brk for t in toks],
-                    [t.fp for t in toks],
-                    [t.form for t in toks],
-                    assets,
+            # ---- tokenize in-process (cheaper than shipping token
+            # arrays through Arrow — deterministic, so the documents
+            # table's n_tokens/fp_unique stay consistent), then
+            # enumerate candidate spans for the WHOLE batch in one
+            # NumPy pass (docs concatenated; each doc opens a sentence
+            # so no span crosses a document boundary)
+            docs = [tokenize_arrays(c) for c in pdf["content"]]
+            if docs:
+                offs = np.zeros(len(docs) + 1, dtype=np.int64)
+                for j, ta in enumerate(docs):
+                    offs[j + 1] = offs[j] + len(ta.words)
+                fps_all = np.concatenate([ta.fps for ta in docs])
+                sent_start = np.concatenate([ta.brks for ta in docs]) >= 2
+                sent_start[offs[:-1][offs[:-1] < len(sent_start)]] = True
+                cb, ce, cfp, cform = _enumerate_candidates(
+                    fps_all,
+                    np.concatenate([ta.forms for ta in docs]),
+                    np.concatenate([ta.alpha for ta in docs]),
+                    np.concatenate([ta.lower for ta in docs]),
+                    sent_start,
+                    npa,
                     min_idf,
                     max_span,
                 )
+            meta = list(zip(pdf["repo"], pdf["path"], pdf["commit"],
+                            pdf["content_sha"]))
+            if docs:
+                doc_cuts = np.searchsorted(cb, offs).tolist()
+            for j, ta in enumerate(docs):
+                off = int(offs[j])
+                lo, hi = doc_cuts[j], doc_cuts[j + 1]
+                ms, rs = _annotate_from_candidates(
+                    ta.words,
+                    ta.brks,
+                    ta.fps,
+                    ta.forms,
+                    (cb[lo:hi] - off, ce[lo:hi] - off, cfp[lo:hi], cform[lo:hi]),
+                    assets,
+                    npa,
+                )
+                row_repo, row_path, row_commit, row_sha = meta[j]
                 n = len(ms) + len(rs)
-                data["repo"].extend([row.repo] * n)
-                data["path"].extend([row.path] * n)
-                data["commit"].extend([row.commit] * n)
-                data["content_sha"].extend([row.content_sha] * n)
+                data["repo"].extend([row_repo] * n)
+                data["path"].extend([row_path] * n)
+                data["commit"].extend([row_commit] * n)
+                data["content_sha"].extend([row_sha] * n)
                 data["kind"].extend(["mention"] * len(ms) + ["relation"] * len(rs))
                 for m in ms:
                     data["sentence"].append(m["sentence"])
