@@ -1119,6 +1119,68 @@ FROM (VALUES {values}) AS t(repo, path, begin, "end", entity, score_micro)
 """
 
 
+def _inverse_pids() -> list[str]:
+    from .sources import kb
+
+    pids = {cfg["inverse"] for cfg in kb.INVERSIONS.values()}
+    pids.discard(kb.GENDERED_PARENT)  # sentinel: materializes as P22/P25
+    pids.update({kb.FATHER, kb.MOTHER})
+    return sorted(pids)
+
+
+def q_kg_inverse_fanin(spark, sf_dir):
+    """Inverse-property statements landing on each target item after the
+    reconcile+merge fuse (ItemReconciler property inversion,
+    reference sling/nlp/kb/reconciler.cc:97-273): qualified P3 inverts to
+    P103 carrying the mapped qualifier, P40 'child' specializes to
+    P22 father / P25 mother by the subject's gender, qualified parent
+    statements and unknown-gender subjects are skipped. Oracle: the
+    independent Python reconciler twin rendered as VALUES."""
+    from .kg.assets import seed_dataframes
+    from .kg.reconcile import invert_statements, merge_items, reconcile_items
+    from .kg.xref import build_clusters
+
+    seed = seed_dataframes(spark)
+    all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
+        seed["fragments"]
+    )
+    all_items = all_items.unionByName(
+        invert_statements(all_items), allowMissingColumns=True
+    )
+    merged = merge_items(reconcile_items(all_items, build_clusters(seed["same_as"])))
+    return (
+        merged.select("id", F.explode("statements").alias("st"))
+        .select(
+            "id",
+            F.col("st.pid").alias("pid"),
+            F.col("st.object").alias("obj"),
+            (F.size("st.qualifiers") > 0).alias("qualified"),
+        )
+        .filter(F.col("pid").isin(_inverse_pids()))
+    )
+
+
+def _sql_kg_inverse_fanin() -> str:
+    from .oracle import kg_oracle
+
+    pids = set(_inverse_pids())
+    merged = kg_oracle.merge_items(kg_oracle.build_clusters())
+    rows = sorted(
+        (it["id"], st["pid"], st["object"], bool(st["qualifiers"]))
+        for it in merged
+        for st in it["statements"]
+        if st["pid"] in pids
+    )
+    values = ", ".join(
+        f"({_sql_quote(i)}, {_sql_quote(p)}, {_sql_quote(o)}, {str(q).upper()})"
+        for i, p, o, q in rows
+    )
+    return (
+        "SELECT id, pid, obj, qualified::BOOLEAN AS qualified "
+        f"FROM (VALUES {values}) AS t(id, pid, obj, qualified)"
+    )
+
+
 def q_doc_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs on the dup fixture, banded
     4 bands x 2 rows over the PORTABLE 8-perm minhash — the full LSH
@@ -1549,7 +1611,12 @@ def q_kg_stream_triples(spark, sf_dir):
 
     from .kg.assets import build_assets, seed_dataframes
     from .kg.documents import build_documents, latest_versions
-    from .kg.reconcile import kb_triples, merge_items, reconcile_items
+    from .kg.reconcile import (
+        invert_statements,
+        kb_triples,
+        merge_items,
+        reconcile_items,
+    )
     from .kg.xref import build_clusters, canonicalize
     from .sources.corpus import corpus_df
     from .streaming.kg_stream import (
@@ -1559,37 +1626,51 @@ def q_kg_stream_triples(spark, sf_dir):
         stream_triples,
     )
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="kg_stream_contract")
     src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
 
     full = latest_versions(corpus_df(spark, 40, partitions=4)).persist()
-    seed = seed_dataframes(spark)
-    assets_bc, _ = build_assets(spark, build_documents(full), seed)
+    try:
+        seed = seed_dataframes(spark)
+        assets_bc, _ = build_assets(spark, build_documents(full), seed)
 
-    # increment 1: half the files; increment 2: the rest
-    full.filter(F.xxhash64("path") % 2 == 0).write.parquet(src)
-    run_to_parquet(
-        stream_triples(annotate_stream(read_corpus_stream(spark, src), assets_bc)),
-        out, ckpt,
-    )
-    full.filter(F.xxhash64("path") % 2 != 0).write.mode("append").parquet(src)
-    run_to_parquet(
-        stream_triples(annotate_stream(read_corpus_stream(spark, src), assets_bc)),
-        out, ckpt,
-    )
+        # increment 1: half the files; increment 2: the rest
+        full.filter(F.xxhash64("path") % 2 == 0).write.parquet(src)
+        run_to_parquet(
+            stream_triples(annotate_stream(read_corpus_stream(spark, src), assets_bc)),
+            out, ckpt,
+        )
+        full.filter(F.xxhash64("path") % 2 != 0).write.mode("append").parquet(src)
+        run_to_parquet(
+            stream_triples(annotate_stream(read_corpus_stream(spark, src), assets_bc)),
+            out, ckpt,
+        )
 
-    streamed = spark.read.parquet(out)
-    clusters = build_clusters(seed["same_as"])
-    doc_t = canonicalize(canonicalize(streamed, clusters, "subj"), clusters, "obj")
-    all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
-        seed["fragments"]
-    )
-    kb_t = kb_triples(merge_items(reconcile_items(all_items, clusters)))
-    return (
-        doc_t.unionByName(kb_t, allowMissingColumns=True)
-        .select("subj", "pred", "obj", "source")
-        .distinct()
-    )
+        streamed = spark.read.parquet(out)
+        clusters = build_clusters(seed["same_as"])
+        doc_t = canonicalize(canonicalize(streamed, clusters, "subj"), clusters, "obj")
+        all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
+            seed["fragments"]
+        )
+        all_items = all_items.unionByName(
+            invert_statements(all_items), allowMissingColumns=True
+        )
+        kb_t = kb_triples(merge_items(reconcile_items(all_items, clusters)))
+        result = (
+            doc_t.unionByName(kb_t, allowMissingColumns=True)
+            .select("subj", "pred", "obj", "source")
+            .distinct()
+        )
+        # materialize eagerly (the triple set is fixture-sized) so the
+        # temp source/out/checkpoint tree and the cached corpus can be
+        # released NOW — in the long-lived contract session, repeated
+        # sweeps otherwise accumulate cached blocks and temp dirs
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        full.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ===========================================================================
@@ -1645,6 +1726,7 @@ def queries():
         "kg_xref_components": q_kg_xref_components,
         "kg_alias_term_counts": q_kg_alias_term_counts,
         "kg_item_fanin": q_kg_item_fanin,
+        "kg_inverse_fanin": q_kg_inverse_fanin,
         "kg_property_usage": q_kg_property_usage,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -1690,6 +1772,7 @@ def oracle_sql():
         "kg_xref_components": _sql_xref_components(),
         "kg_alias_term_counts": _sql_alias_term_counts(),
         "kg_item_fanin": _sql_item_fanin(),
+        "kg_inverse_fanin": _sql_kg_inverse_fanin(),
         "kg_property_usage": _sql_property_usage(),
         # kg_triples / kg_mentions: the annotator semantics are not
         # ANSI-SQL-expressible, so the independent pure-Python oracle

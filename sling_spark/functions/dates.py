@@ -75,13 +75,24 @@ def more_precise(a: str, b: str) -> str:
     return b if pb.precision > pa.precision else a
 
 
+def _coarse(year: int, gran: int) -> int:
+    """Coarse bucket of a year, truncating TOWARD ZERO so BC years follow
+    star-prefix semantics: -458 is in century '-4**' (bucket -4), not -5
+    as floor division would give. (The reference anchors century base
+    years at num*100+1 — calendar.cc ParseFromNumber; we use the pure
+    prefix convention consistently on both the parse and compare sides,
+    so boundary years like 2000 bucket into '20**' here vs '19**' there —
+    documented divergence, self-consistent within this system.)"""
+    return year // gran if year >= 0 else -((-year) // gran)
+
+
 def compatible(a: ParsedDate, b: ParsedDate) -> bool:
     """Same date up to the coarser precision (e.g. 1958-03 sits inside
     the 195* decade and the 19** century)."""
     p = min(a.precision, b.precision)
     gran = _GRANULARITY.get(p)
     if gran is not None:
-        return a.year // gran == b.year // gran
+        return _coarse(a.year, gran) == _coarse(b.year, gran)
     if a.year != b.year:
         return False
     if p >= P_MONTH and a.month != b.month:

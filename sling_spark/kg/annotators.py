@@ -88,8 +88,10 @@ def document_prologue(documents: DataFrame, content_col: str = "content") -> Dat
     the first markdown heading line (DocumentPrologueAnnotator,
     sling/nlp/silver/filters.cc:60-83: keep tokens up to the first
     HEADING_BEGIN; our corpus marks sections with '## ' lines). Pure
-    Catalyst: one split, no Python."""
-    prologue = F.element_at(F.split(F.col(content_col), r"\n#{1,6} ", 2), 1)
+    Catalyst: one split, no Python. A heading on the document's FIRST
+    line truncates to empty (the reference keeps tokens strictly before
+    the first heading), hence the (^|\\n) anchor."""
+    prologue = F.element_at(F.split(F.col(content_col), r"(^|\n)#{1,6} ", 2), 1)
     return documents.withColumn(content_col, prologue)
 
 

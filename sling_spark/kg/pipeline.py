@@ -32,7 +32,7 @@ from ..sources.corpus import corpus_df
 from .assets import build_assets, phrase_table_future, seed_dataframes
 from .documents import doc_stats, latest_with_sha
 from .mentions import annotate, mentions_of, relations_of
-from .reconcile import kb_triples, merge_items, reconcile_items
+from .reconcile import invert_statements, kb_triples, merge_items, reconcile_items
 from .relations import doc_triples
 from .xref import build_clusters, canonicalize
 
@@ -109,6 +109,11 @@ def run_pipeline(
 
     all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
         seed["fragments"]
+    )
+    # inverse-property fragments keyed by target (reconciler.cc:97-273)
+    # join the fuse exactly like any other source item fragment
+    all_items = all_items.unionByName(
+        invert_statements(all_items), allowMissingColumns=True
     )
     merged = _materialize(
         merge_items(reconcile_items(all_items, clusters)),

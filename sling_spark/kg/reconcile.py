@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources import kb
 from .xref import canonicalize
 
 ITEMS_SCHEMA = (
@@ -35,11 +36,134 @@ ITEMS_SCHEMA = (
 _DATE_RE = re.compile(r"^\d{4}(-\d{2})?(-\d{2})?$")
 
 
+#: statement objects that are ITEM REFERENCES (inversion targets): main
+#: Q-ids or alt ids in a known namespace — literals (dates, numbers,
+#: free text) are never inverted (reconciler.cc:157 `!target.IsRef()`).
+_ITEM_REF_RE = "^(Q[0-9]+$|(" + "|".join(
+    ns for ns in sorted(kb.NAMESPACE_PRIORITY) if ns != "Q"
+) + "):)"
+
+
+def invert_statements(items: DataFrame) -> DataFrame:
+    """Emit inverse-property item FRAGMENTS keyed by statement target
+    (ItemReconciler property inversion, reconciler.cc:97-273): for each
+    statement (subj, pid, object-item) with pid in ``kb.INVERSIONS``,
+    the target item receives (inverse_pid, subj). Qualifier inversion
+    copies only config-mapped qualifiers onto the inverted statement
+    (:181-199); an inverse of P8810 'parent' specializes to P22 father /
+    P25 mother by the SUBJECT's own P21 gender, skipping qualified
+    statements and unknown-gender subjects (:163-177). Fragments carry
+    ``orig_id = subj#inv:target`` as a collision-free deterministic merge
+    order key and the subject's source_priority.
+
+    Plan shape: explode → broadcast-join the (dimension-sized) inversion
+    config → groupBy (target, subj) with sort_array-collected statements;
+    one shuffle keyed by the inverse fragments only (orders of magnitude
+    below item scale)."""
+    spark = items.sparkSession
+    inv_df = spark.createDataFrame(
+        [
+            (pid, cfg["inverse"], dict(cfg.get("qualifiers", {})))
+            for pid, cfg in sorted(kb.INVERSIONS.items())
+        ],
+        schema="pid string, inverse string, qmap map<string,string>",
+    )
+    pri = (
+        F.coalesce("source_priority", F.lit(0))
+        if "source_priority" in items.columns
+        else F.lit(0)
+    )
+    flat = items.select(
+        F.col("id").alias("subj"),
+        pri.alias("source_priority"),
+        # the subject's own gender statement (frame.GetHandle(n_gender_))
+        F.expr("get(filter(statements, s -> s.pid = 'P21'), 0).object").alias("gender"),
+        F.posexplode("statements").alias("pos", "st"),
+    ).select(
+        "subj",
+        "source_priority",
+        "gender",
+        "pos",
+        F.col("st.pid").alias("pid"),
+        F.col("st.object").alias("object"),
+        F.coalesce("st.qualifiers", F.expr("map()")).alias("qualifiers"),
+    )
+    inv = (
+        flat.join(F.broadcast(inv_df), on="pid")
+        .filter(F.col("object").rlike(_ITEM_REF_RE) & (F.col("object") != F.col("subj")))
+    )
+    qualified = F.size("qualifiers") > 0
+    gendered = F.col("inverse") == kb.GENDERED_PARENT
+    inv = inv.filter(
+        ~gendered | (~qualified & F.col("gender").isin(kb.MALE, kb.FEMALE))
+    ).withColumn(
+        "inverse",
+        F.when(~gendered, F.col("inverse"))
+        .when(F.col("gender") == kb.MALE, F.lit(kb.FATHER))
+        .otherwise(F.lit(kb.MOTHER)),
+    )
+    # qualifier inversion: keep only config-mapped qualifiers, renamed;
+    # empty result (or unqualified source) → plain inverted link
+    inv_quals = F.expr(
+        "map_from_entries(transform("
+        "  filter(map_entries(qualifiers), e -> array_contains(map_keys(qmap), e.key)),"
+        "  e -> struct(qmap[e.key] AS key, e.value AS value)))"
+    )
+    inv = inv.withColumn(
+        "inv_qualifiers",
+        F.when(qualified & (F.size("qmap") > 0), inv_quals).otherwise(F.expr("map()")),
+    )
+    return (
+        inv.groupBy(
+            F.col("object").alias("id"),
+            F.concat(F.col("subj"), F.lit("#inv:"), F.col("object")).alias("orig_id"),
+            "source_priority",
+        )
+        .agg(
+            F.transform(
+                # array_sort with a pos-only comparator: the payload
+                # struct carries a map, which sort_array cannot order
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.struct(
+                                F.col("inverse").alias("pid"),
+                                F.col("subj").alias("object"),
+                                F.col("inv_qualifiers").alias("qualifiers"),
+                            ).alias("st"),
+                        )
+                    ),
+                    lambda l, r: F.when(l["pos"] < r["pos"], F.lit(-1))
+                    .when(l["pos"] > r["pos"], F.lit(1))
+                    .otherwise(F.lit(0)),
+                ),
+                lambda x: x["st"],
+            ).alias("statements")
+        )
+        .select(
+            "id",
+            "orig_id",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("array<string>").alias("types"),
+            "statements",
+            "source_priority",
+        )
+    )
+
+
 def reconcile_items(items: DataFrame, clusters: DataFrame) -> DataFrame:
-    """Rewrite item ids and statement objects to canonical cluster ids."""
+    """Rewrite item ids and statement objects to canonical cluster ids.
+    Items may carry an explicit ``orig_id`` merge-order key (inverse
+    fragments do); plain items default it to their own id."""
+    orig = (
+        F.coalesce("orig_id", F.col("id"))
+        if "orig_id" in items.columns
+        else F.col("id")
+    )
     flat = items.select(
         "id",
-        F.col("id").alias("orig_id"),  # deterministic merge order key
+        orig.alias("orig_id"),  # deterministic merge order key
         "name",
         "types",
         F.coalesce("source_priority", F.lit(0)).alias("source_priority")

@@ -104,15 +104,39 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    sh: DataFrame, min_jaccard: float = 0.8, candidates: DataFrame | None = None
+    sh: DataFrame,
+    min_jaccard: float = 0.8,
+    candidates: DataFrame | None = None,
+    stop_df_frac: float | None = 0.01,
+    stop_min_df: int = 8,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity per document pair.
 
     With ``candidates`` (from LSH) the intersection join is restricted to
-    candidate pairs (the scale path); without, a full self-join on
-    shingle (correct for small/test inputs; the shuffle key is the
-    shingle so common shingles dominate — capped by a frequency filter
-    that drops shingles in >1% of docs, the stop-shingle analog)."""
+    candidate pairs (the scale path). Without, a self-join on shingle —
+    and because the shuffle key is the shingle, one hot shingle (license
+    header, boilerplate line) would otherwise create an O(n²) bucket, so
+    STOP-SHINGLES are dropped first: any shingle whose document frequency
+    exceeds ``max(stop_df_frac * n_docs, stop_min_df)`` is removed from
+    the whole computation (sizes AND intersections — jaccard is over the
+    filtered shingle universe, the stop-word analog). The stop set is
+    high-frequency by construction, hence tiny → broadcast anti-join; the
+    doc count enters the plan as a broadcast scalar, no driver action.
+    Pass ``stop_df_frac=None`` to disable (exact jaccard on all shingles).
+    """
+    if candidates is None and stop_df_frac is not None:
+        n_docs = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(
+                F.col("df")
+                > F.greatest(F.col("n_docs") * F.lit(stop_df_frac), F.lit(float(stop_min_df)))
+            )
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), on="shingle", how="left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     pairs = (
         sh.alias("a")

@@ -403,16 +403,78 @@ def canonical(ident: str, clusters: dict[str, str]) -> str:
 # ---------------------------------------------------------------------------
 
 
+_ITEM_REF_RE = re.compile(
+    "^(Q[0-9]+$|("
+    + "|".join(ns for ns in sorted(kb.NAMESPACE_PRIORITY) if ns != "Q")
+    + "):)"
+)
+
+
+def invert_statements(sources: list[dict]) -> list[dict]:
+    """Independent twin of reconcile.invert_statements (reconciler.cc:
+    97-273): inverse-property fragments keyed by statement target, with
+    qualifier inversion and the gendered P8810→P22/P25 parent rule."""
+    frags: list[dict] = []
+    for item in sources:
+        gender = next(
+            (st["object"] for st in item["statements"] if st["pid"] == "P21"), None
+        )
+        by_target: dict[str, list] = {}
+        for pos, st in enumerate(item["statements"]):
+            cfg = kb.INVERSIONS.get(st["pid"])
+            if cfg is None:
+                continue
+            obj = st["object"]
+            if obj == item["id"] or not _ITEM_REF_RE.match(obj or ""):
+                continue
+            quals = dict(st["qualifiers"] or {})
+            inverse = cfg["inverse"]
+            if inverse == kb.GENDERED_PARENT:
+                if quals:
+                    continue  # qualified parent statements are not inverted
+                if gender == kb.MALE:
+                    inverse = kb.FATHER
+                elif gender == kb.FEMALE:
+                    inverse = kb.MOTHER
+                else:
+                    continue  # unknown gender: skip
+            qmap = cfg.get("qualifiers", {})
+            iq = (
+                {qmap[k]: v for k, v in quals.items() if k in qmap}
+                if quals and qmap
+                else {}
+            )
+            by_target.setdefault(obj, []).append(
+                (pos, {"pid": inverse, "object": item["id"], "qualifiers": iq})
+            )
+        for obj in by_target:
+            sts = sorted(by_target[obj], key=lambda t: t[0])
+            frags.append(
+                {
+                    "id": obj,
+                    "orig_id": f"{item['id']}#inv:{obj}",
+                    "name": None,
+                    "types": [],
+                    "statements": [s for _p, s in sts],
+                    "source_priority": item.get("source_priority", 0),
+                }
+            )
+    return frags
+
+
 def merge_items(clusters: dict[str, str]) -> list[dict]:
     sources = [
         dict(item, source_priority=0) for item in kb.entities()
     ] + kb.source_item_fragments()
+    sources = sources + invert_statements(sources)
     by_id: dict[str, list[tuple[int, dict]]] = defaultdict(list)
     for item in sources:
         by_id[canonical(item["id"], clusters)].append((item["source_priority"], item))
     merged_items = []
     for cid in sorted(by_id):
-        entries = sorted(by_id[cid], key=lambda t: (t[0], t[1]["id"]))
+        entries = sorted(
+            by_id[cid], key=lambda t: (t[0], t[1].get("orig_id") or t[1]["id"])
+        )
         named = [it for _p, it in entries if it.get("name")]
         name = named[0]["name"] if named else None
         types = sorted({t for _p, it in entries for t in it["types"]})

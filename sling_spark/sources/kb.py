@@ -30,14 +30,41 @@ PROPERTIES: dict[str, str] = {
     "P6": "release date",  # literal-valued (date precision merge cases)
     "P7": "created",  # person → project (exercises gendered anaphora)
     "P21": "gender",  # person → Q91/Q92 (anaphora.cc gender agreement)
+    "P40": "child",  # person → person (gendered inversion, reconciler.cc)
     "P279": "subclass of",
+    # inverse properties emitted by the reconciler (reconciler.cc:97-273)
+    "P101": "required by",  # inverse of P1
+    "P103": "develops",  # inverse of P3 (qualifier-carrying)
+    "P108": "created by",  # inverse of P7
+    "P8810": "parent",  # gendered sentinel → specializes to P22/P25
+    "P22": "father",
+    "P25": "mother",
 }
+
+# Property inversions (the reconciler config analog — reference reads a
+# frame config with an `inversions` map, reconciler.cc:49-68): for each
+# statement (subj, pid, item-object) with pid in this map, an INVERSE
+# statement keyed by the object is emitted: (object, inverse, subj).
+# "qualifiers" maps original qualifier pids onto inverted ones (only
+# those survive the inversion); an inverse of P8810 (parent) is the
+# gendered special case — it specializes to P22 father / P25 mother by
+# the SUBJECT item's own P21 gender, skips qualified statements, and
+# skips subjects of unknown gender (reconciler.cc:163-177).
+INVERSIONS: dict[str, dict] = {
+    "P1": {"inverse": "P101"},
+    "P3": {"inverse": "P103", "qualifiers": {"since": "since"}},
+    "P7": {"inverse": "P108"},
+    "P40": {"inverse": "P8810"},
+}
+GENDERED_PARENT = "P8810"  # inverse sentinel (n_parent_, reconciler.cc:255)
+FATHER, MOTHER = "P22", "P25"
+MALE, FEMALE = "Q91", "Q92"
 
 # relation-extraction property priority (analog of relations.cc:38-55
 # P27>P17>P19>P20>P119) and blocked list (relations.cc:56-66 — the
 # reference blocks sex-or-gender from relation mining; so do we).
 PROPERTY_PRIORITY: list[str] = ["P1", "P2", "P5", "P3", "P4", "P7"]
-BLOCKED_PROPERTIES: set[str] = {"P279", "P21"}
+BLOCKED_PROPERTIES: set[str] = {"P279", "P21", "P40"}
 
 # alias source bitmask (subset of the 16 AliasSource values, wiki.h:48-64)
 SRC_NAME = 1  # canonical item name
@@ -240,6 +267,16 @@ _E = [
      [("Grace Hopper", 35), ("Hopper", 15)],
      [("P21", "Q92"), ("P7", "Q15")],
      []),
+    # fictional, alias-less persons (never mentionable — corpus output is
+    # unaffected) exercising the gendered P40→P22/P25 inversion:
+    ("Q83", "Alex Devlin", ["person"],
+     [],
+     [("P21", "Q91"), ("P40", "Q84")],  # male, child Q84 → Q84 gets P22=Q83
+     []),
+    ("Q84", "Robin Devlin", ["person"],
+     [],
+     [("P40", "Q83")],  # NO gender → this P40 inversion is skipped
+     []),
     ("Q91", "male", ["gender"], [], [], []),
     ("Q92", "female", ["gender"], [], [], []),
     # --- class items (P279 taxonomy; exercise the Facts closure,
@@ -432,6 +469,28 @@ def source_item_fragments() -> list[dict]:
             "types": ["repository"],
             "statements": [st("P5", "Q20")],       # dup of seed (P5, Q20)
             "source_priority": 2,
+        },
+        {  # inversion cases (reconciler.cc:163-199): the qualified P3
+            # inverts to P103 CARRYING the mapped `since` qualifier (and
+            # subsumes the seed's bare P3 Q50); the qualified P40 parent
+            # inversion is SKIPPED (gendered inversions only invert
+            # unqualified statements); the P6 date is a literal — never
+            # inverted.
+            "id": "maven:org.apache.spark",
+            "name": "spark-core",
+            "types": ["artifact"],
+            "statements": [
+                st("P3", "Q50", since="2014"),
+                st("P6", "2014"),
+            ],
+            "source_priority": 2,
+        },
+        {
+            "id": "Q83",
+            "name": None,
+            "types": [],
+            "statements": [st("P40", "Q84", order="adopted")],  # qualified → no inversion
+            "source_priority": 1,
         },
     ]
 

@@ -110,9 +110,16 @@ def parse_warc_records(data: bytes):
     """Yield WARC 1.0/1.1 records from raw file bytes (plain or
     per-record-gzipped multistream, the Common Crawl layout). Pure
     scalar parser — reference semantics: sling/task/warc-reader
-    (record header block, Content-Length body, CRLF CRLF terminator)."""
+    (record header block, Content-Length body, CRLF CRLF terminator).
+
+    TOTAL on garbage (dirty-crawl tolerance): non-numeric Content-Length
+    skips the record, the length is clamped into [0, bytes remaining],
+    corrupt gzip members stop the decompression loop, and the scan
+    position strictly advances every iteration — no crash, no infinite
+    loop, whatever the input bytes."""
     import gzip
     import io
+    import zlib
 
     if data[:2] == b"\x1f\x8b":  # gzip multistream: one member per record
         out = io.BytesIO()
@@ -124,7 +131,7 @@ def parse_warc_records(data: bytes):
                 try:
                     with gzip.GzipFile(fileobj=raw) as gz:
                         out.write(gz.read())
-                except (OSError, EOFError):
+                except (OSError, EOFError, zlib.error):
                     break
                 if raw.tell() == start:
                     break
@@ -144,10 +151,17 @@ def parse_warc_records(data: bytes):
         for line in data[pos:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode("latin1")] = v.strip().decode("latin1")
-        length = int(headers.get("content-length", 0))
         body_start = head_end + 4
+        try:
+            length = int(headers.get("content-length", 0))
+        except ValueError:
+            pos = body_start  # unparseable length: skip the record
+            continue
+        length = max(0, min(length, n - body_start))  # clamp into the buffer
         payload = data[body_start : body_start + length]
         yield headers, payload
+        # body_start > pos always (the find above succeeded), so the scan
+        # strictly advances even when length == 0 — no infinite loop
         pos = body_start + length
 
 

@@ -200,3 +200,89 @@ def test_annotate_text_per_record_entry(stages):
     assert any(r["subj"] == "Q1" and r["pred"] == "P1" and r["obj"] == "Q2"
                for r in out["relations"])
     assert "[Apache Spark|Q1]" in out["lex"]
+
+
+def test_inverse_property_reconciliation(spark):
+    """ItemReconciler property inversion (reference reconciler.cc:97-273):
+    inverse statements keyed by target, qualifier inversion, gendered
+    P40 child -> P22 father / P25 mother, and every skip rule."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.reconcile import ITEMS_SCHEMA, invert_statements
+
+    def item(iid, stmts, prio=0):
+        return (
+            iid,
+            None,
+            [],
+            [(pid, obj, dict(q)) for pid, obj, q in stmts],
+            prio,
+        )
+
+    items = spark.createDataFrame(
+        [
+            # plain inversion + qualifier inversion (P3 carries `since`,
+            # drops unmapped qualifiers)
+            item("Q1", [("P3", "Q50", {"since": "2014", "rank": "preferred"})]),
+            # literal object: never inverted
+            item("Q1b", [("P3", "2014-02", {})]),
+            # self-relation: never inverted
+            item("Q1c", [("P3", "Q1c", {})]),
+            # gendered: male subject -> target gets P22 father
+            item("Q83", [("P21", "Q91", {}), ("P40", "Q84", {})]),
+            # gendered: female subject -> target gets P25 mother
+            item("Q85", [("P21", "Q92", {}), ("P40", "Q86", {})]),
+            # gendered but QUALIFIED: skipped
+            item("Q87", [("P21", "Q91", {}), ("P40", "Q88", {"order": "x"})]),
+            # gendered but NO gender on subject: skipped
+            item("Q89", [("P40", "Q90", {})]),
+            # alt-id object IS an item ref -> inverted
+            item("github:a/b", [("P7", "Q2", {})], prio=1),
+        ],
+        schema=ITEMS_SCHEMA + ", source_priority int",
+    )
+    inv = invert_statements(items)
+    rows = {
+        (r["id"], s["pid"], s["object"], tuple(sorted((s["qualifiers"] or {}).items())))
+        for r in inv.collect()
+        for s in r["statements"]
+    }
+    assert rows == {
+        ("Q50", "P103", "Q1", (("since", "2014"),)),  # mapped qualifier kept
+        ("Q84", "P22", "Q83", ()),  # father by male subject
+        ("Q86", "P25", "Q85", ()),  # mother by female subject
+        ("Q2", "P108", "github:a/b", ()),  # created -> created by
+    }
+    # merge-order key is collision-free and deterministic
+    ids = [(r["id"], r["orig_id"]) for r in inv.collect()]
+    assert all("#inv:" in o for _i, o in ids)
+    # fanin priority: fragments carry the subject's source priority
+    pr = {r["id"]: r["source_priority"] for r in inv.collect()}
+    assert pr["Q2"] == 1 and pr["Q50"] == 0
+
+    # Spark twin == independent Python oracle on the real seed KB
+    from sling_spark.oracle import kg_oracle
+    from sling_spark.sources import kb
+
+    sources = [dict(it, source_priority=0) for it in kb.entities()]
+    sources += kb.source_item_fragments()
+    oracle_frags = {
+        (f["id"], s["pid"], s["object"])
+        for f in kg_oracle.invert_statements(sources)
+        for s in f["statements"]
+    }
+    from sling_spark.kg.assets import seed_dataframes
+
+    seed = seed_dataframes(spark)
+    all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
+        seed["fragments"]
+    )
+    spark_frags = {
+        (r["id"], s["pid"], s["object"])
+        for r in invert_statements(all_items).collect()
+        for s in r["statements"]
+    }
+    assert spark_frags == oracle_frags
+    # the seed KB exercises both gendered branches
+    pids = {p for _i, p, _o in spark_frags}
+    assert "P22" in pids and {"P101", "P103", "P108"} <= pids
