@@ -3,16 +3,42 @@
 SLING annotators receive read-only assets — commons store, phrase table,
 IDF dictionary — via workflow ``auxin`` inputs, memory-mapped once per
 worker (python/task/workflow.py:667-689; sling/nlp/silver/silver.py
-equivalent at python/nlp/silver.py:120-138). Our analog: build each
-asset AS a DataFrame (so the build itself is distributed and testable),
-then collect + ``sc.broadcast`` the lookup dicts consumed inside the
-annotation UDFs. All assets are dimension-sized (items/aliases), orders
-of magnitude below corpus scale.
+equivalent at python/nlp/silver.py:120-138). Our analog: every asset is
+built AS a DataFrame **derived from the KB tables** (items/aliases — at
+real scale these come from the wikidata importer; the derivations are
+identical), then consumed one of two ways:
+
+- ``mode="broadcast"`` (default, KB ≪ driver memory): collect the
+  dimension-sized lookup tables and ``sc.broadcast`` the dicts.
+- ``mode="store"`` (the 100×-scale path): write each asset DataFrame to
+  Parquet and broadcast only the PATHS; every Python worker lazily reads
+  the Parquet columnarly (pyarrow) and builds its lookup structures once
+  per process — the exact analog of SLING memory-mapping its repository
+  files per worker (sling/file/repository.h:30-60). The driver never
+  materializes the tables, so the asset size is bounded by executor
+  memory, not ``sc.broadcast`` / driver limits.
+
+Asset derivations (fixture literals are NOT consulted — parity with the
+seed-literal dicts is pytest-enforced):
+
+- phrase table ← alias selection → fp grouping (phrase_table.py)
+- IDF ← per-document distinct fingerprints (documents.idf_table)
+- links ← item statements: subject→object weight 8, plus developer→
+  project (P3 reverse) weight 4 — the wikipedia-link-merger input shape
+  (reference sling/nlp/wiki/links.cc:162-205)
+- popularity ← Σ alias counts per entity (the alias/anchor-count
+  semantics of /w/item/popularity, doc/guide/wikiflow.md:308-313)
+- facts ← relations.facts_df (Facts::Extract closure, facts.h:30-90)
+- gender ← P21 statements (anaphora.cc:178-190)
 """
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import kb
 from .documents import idf_table
@@ -50,24 +76,208 @@ def seed_dataframes(spark: SparkSession) -> dict[str, DataFrame]:
     }
 
 
+# ---------------------------------------------------------------------------
+# asset DataFrames (KB-derived, distributed builds)
+# ---------------------------------------------------------------------------
+
+
+def links_from_items(items: DataFrame) -> DataFrame:
+    """Outbound link graph derived from item statements (resolver
+    context input, resolver.cc:31-55): subject→object weight 8 per
+    statement, plus a reverse developer→project edge (P3) weight 4.
+    Row multiplicity is preserved (the resolver sums contributions)."""
+    st = items.select(F.col("id"), F.explode("statements").alias("st")).select(
+        "id", F.col("st.pid").alias("pid"), F.col("st.object").alias("object")
+    )
+    fwd = st.select(
+        F.col("id").alias("src"), F.col("object").alias("dst"), F.lit(8).alias("count")
+    )
+    rev = st.filter(F.col("pid") == "P3").select(
+        F.col("object").alias("src"), F.col("id").alias("dst"), F.lit(4).alias("count")
+    )
+    return fwd.unionByName(rev)
+
+
+def popularity_from_aliases(aliases: DataFrame) -> DataFrame:
+    """Popularity = Σ alias counts per entity (wikiflow.md:308-313)."""
+    return aliases.groupBy(F.col("entity").alias("id")).agg(
+        F.sum("count").cast("int").alias("count")
+    )
+
+
+def gender_from_items(items: DataFrame) -> DataFrame:
+    """entity → grammatical gender code from P21 statements
+    (anaphora.cc:178-190; 1 masculine, 2 feminine, 0 unknown)."""
+    return (
+        items.select("id", F.explode("statements").alias("st"))
+        .filter(F.col("st.pid") == "P21")
+        .select(
+            "id",
+            F.when(F.col("st.object") == kb.MALE, F.lit(1))
+            .when(F.col("st.object") == kb.FEMALE, F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("gender"),
+        )
+        .groupBy("id")
+        .agg(F.max("gender").alias("gender"))  # deterministic on dup P21
+    )
+
+
+def asset_dataframes(
+    spark: SparkSession, seed: dict[str, DataFrame], min_alias_count: int = 2
+) -> dict[str, DataFrame]:
+    """Every corpus-independent annotator asset as a DataFrame plan."""
+    from .relations import facts_df
+
+    selected = select_aliases(seed["aliases"], min_count=min_alias_count)
+    return {
+        "phrase_table": build_phrase_table(selected),
+        "links": links_from_items(seed["items"]),
+        "popularity": popularity_from_aliases(seed["aliases"]),
+        "facts": facts_df(spark, seed["items"]),
+        "gender": gender_from_items(seed["items"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# store mode: Parquet-backed, worker-side lazy loading
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AssetStore:
+    """Tiny picklable handle broadcast INSTEAD of the asset dicts: the
+    Parquet directory each worker loads lazily (and caches per process).
+    ``path`` must be worker-visible (shared FS / object store on a real
+    cluster; pyarrow reads s3://, hdfs:// and local paths alike)."""
+
+    path: str
+
+
+_STORE_CACHE: dict[str, KbAssets] = {}
+
+
+def load_assets(store: AssetStore) -> KbAssets:
+    """Worker-side: read the asset Parquet columnarly and build the
+    lookup structures — once per (process, store path)."""
+    cached = _STORE_CACHE.get(store.path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    def read(name):
+        return pq.read_table(os.path.join(store.path, name))
+
+    pt_tab = read("phrase_table")
+    phrase_table: dict[int, list[tuple]] = {}
+    for fp, entries in zip(
+        pt_tab["fp"].to_pylist(), pt_tab["entries"].to_pylist()
+    ):
+        es = [(e["entity"], e["count"], e["form"], e["reliable"]) for e in entries]
+        es.sort(key=lambda t: (-t[1], t[0]))
+        phrase_table[fp] = es
+
+    idf_tab = read("idf")
+    idf = dict(zip(idf_tab["fp"].to_pylist(), idf_tab["idf"].to_pylist()))
+
+    links_tab = read("links")
+    links: dict[str, list[tuple[str, int]]] = {}
+    for src, dst, cnt in zip(
+        links_tab["src"].to_pylist(),
+        links_tab["dst"].to_pylist(),
+        links_tab["count"].to_pylist(),
+    ):
+        links.setdefault(src, []).append((dst, cnt))
+    for v in links.values():
+        v.sort()  # deterministic context-update order
+
+    pop_tab = read("popularity")
+    popularity = dict(zip(pop_tab["id"].to_pylist(), pop_tab["count"].to_pylist()))
+
+    facts_tab = read("facts")
+    statements: dict[str, set] = {}
+    for subj, pid, obj in zip(
+        facts_tab["subj"].to_pylist(),
+        facts_tab["pid"].to_pylist(),
+        facts_tab["obj"].to_pylist(),
+    ):
+        statements.setdefault(subj, set()).add((pid, obj))
+
+    g_tab = read("gender")
+    gender = dict(zip(g_tab["id"].to_pylist(), g_tab["gender"].to_pylist()))
+
+    assets = KbAssets(
+        phrase_table=phrase_table,
+        idf=idf,
+        popularity=popularity,
+        links=links,
+        statements=statements,
+        gender=gender,
+    )
+    _STORE_CACHE[store.path] = assets
+    return assets
+
+
+def resolve_assets(value) -> KbAssets:
+    """Annotator-side dispatch: a broadcast may carry the materialized
+    ``KbAssets`` (broadcast mode) or an ``AssetStore`` handle (store
+    mode, loaded lazily per worker)."""
+    if isinstance(value, AssetStore):
+        return load_assets(value)
+    return value
+
+
+# ---------------------------------------------------------------------------
+# build entry points
+# ---------------------------------------------------------------------------
+
+
+def _dicts_from_dataframes(dfs: dict[str, DataFrame], idf_df: DataFrame):
+    """Collect the asset DataFrames into the broadcast dicts (broadcast
+    mode). Each table is dimension-sized (items/aliases scale)."""
+    links: dict[str, list[tuple[str, int]]] = {}
+    for r in dfs["links"].collect():
+        links.setdefault(r["src"], []).append((r["dst"], r["count"]))
+    for v in links.values():
+        v.sort()
+    popularity = {r["id"]: r["count"] for r in dfs["popularity"].collect()}
+    statements: dict[str, set] = {}
+    for r in dfs["facts"].collect():
+        statements.setdefault(r["subj"], set()).add((r["pid"], r["obj"]))
+    gender = {r["id"]: r["gender"] for r in dfs["gender"].collect()}
+    idf = {r["fp"]: r["idf"] for r in idf_df.collect()}
+    return links, popularity, statements, gender, idf
+
+
 def phrase_table_future(
     spark: SparkSession, seed: dict[str, DataFrame], min_count: int = 2
 ):
-    """Launch the phrase-table build (alias selection → table → collected
-    dict) on a second job-submitter thread. The branch is corpus-
-    INDEPENDENT (seed aliases only), so its Spark jobs interleave into
-    free task slots while the corpus stages run — the reference's
-    workflow scheduler runs independent task branches in parallel the
-    same way (python/task/workflow.py worker pools). Spark job submission
-    is thread-safe."""
+    """Launch the corpus-INDEPENDENT asset builds (phrase table + links/
+    popularity/facts/gender dicts) on a second job-submitter thread, so
+    their Spark jobs interleave into free task slots while the corpus
+    stages run — the reference's workflow scheduler runs independent
+    task branches in parallel the same way (python/task/workflow.py
+    worker pools). Spark job submission is thread-safe. Returns a future
+    of (phrase_table_df, phrase_table_dict, asset_dicts)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="pt-branch")
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="asset-branch")
 
     def run():
-        selected = select_aliases(seed["aliases"], min_count=min_count)
-        df = build_phrase_table(selected)
-        return df, phrase_table_dict(df)
+        dfs = asset_dataframes(spark, seed, min_alias_count=min_count)
+        pt_df = dfs["phrase_table"]
+        pt = phrase_table_dict(pt_df)
+        links: dict[str, list[tuple[str, int]]] = {}
+        for r in dfs["links"].collect():
+            links.setdefault(r["src"], []).append((r["dst"], r["count"]))
+        for v in links.values():
+            v.sort()
+        popularity = {r["id"]: r["count"] for r in dfs["popularity"].collect()}
+        statements: dict[str, set] = {}
+        for r in dfs["facts"].collect():
+            statements.setdefault(r["subj"], set()).add((r["pid"], r["obj"]))
+        gender = {r["id"]: r["gender"] for r in dfs["gender"].collect()}
+        return pt_df, pt, (links, popularity, statements, gender)
 
     fut = pool.submit(run)
     pool.shutdown(wait=False)
@@ -81,33 +291,17 @@ def build_assets(
     min_alias_count: int = 2,
     pt_future=None,
 ):
-    """Run the alias-selection + phrase-table + IDF builds in Spark, then
-    broadcast the collected lookup structures. Returns (broadcast,
-    phrase_table_df) — the DataFrame is exposed for tests/parity.
-
-    ``seed`` feeds the alias/phrase-table build; the links/popularity/
-    statements dicts come straight from the literal kb fixtures (same
-    data, no DataFrame round-trip)."""
+    """Broadcast-mode asset build: run the alias-selection + phrase-table
+    + IDF + link/popularity/fact/gender builds in Spark (all DataFrame-
+    derived from the KB tables), collect the dimension-sized lookups,
+    broadcast. Returns (broadcast, phrase_table_df). For a KB that
+    outgrows the driver, use :func:`build_asset_store` instead."""
     seed = seed or seed_dataframes(spark)
     if pt_future is None:
         pt_future = phrase_table_future(spark, seed, min_alias_count)
     idf_df = idf_table(documents)
     idf = {r["fp"]: r["idf"] for r in idf_df.collect()}
-    pt_df, pt = pt_future.result()
-
-    # links/popularity/statements are literal seed fixtures — build the
-    # dicts straight from the source rows instead of a DataFrame
-    # round-trip (each collect is a whole Spark job; three of them cost
-    # more than the entire annotation pass on a busy machine)
-    links: dict[str, list[tuple[str, int]]] = {}
-    for r in kb.links_rows():
-        links.setdefault(r["src"], []).append((r["dst"], r["count"]))
-    for v in links.values():
-        v.sort()  # deterministic context-update order
-
-    popularity = {r["id"]: r["count"] for r in kb.popularity_rows()}
-
-    statements = kb.facts_lookup()  # P279 closure (facts.h semantics)
+    pt_df, pt, (links, popularity, statements, gender) = pt_future.result()
 
     assets = KbAssets(
         phrase_table=pt,
@@ -115,6 +309,30 @@ def build_assets(
         popularity=popularity,
         links=links,
         statements=statements,
-        gender=kb.gender_lookup(),  # anaphora agreement (anaphora.cc)
+        gender=gender,
     )
     return spark.sparkContext.broadcast(assets), pt_df
+
+
+def build_asset_store(
+    spark: SparkSession,
+    documents: DataFrame,
+    store_dir: str,
+    seed: dict[str, DataFrame] | None = None,
+    min_alias_count: int = 2,
+):
+    """Store-mode asset build (the 100×-scale path): write every asset
+    DataFrame to ``store_dir`` as Parquet and broadcast only the
+    :class:`AssetStore` handle — NO driver-side collect anywhere, so the
+    phrase table / fact table can exceed driver memory and
+    ``spark.driver.maxResultSize`` entirely. Workers load the Parquet
+    lazily (pyarrow) and cache per process, the SLING repository
+    memory-map analog. Returns (broadcast-of-AssetStore,
+    phrase_table_df)."""
+    seed = seed or seed_dataframes(spark)
+    dfs = asset_dataframes(spark, seed, min_alias_count=min_alias_count)
+    dfs = dict(dfs, idf=idf_table(documents))
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(os.path.join(store_dir, name))
+    store = AssetStore(path=store_dir)
+    return spark.sparkContext.broadcast(store), dfs["phrase_table"]

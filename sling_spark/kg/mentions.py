@@ -510,8 +510,12 @@ def annotate(
 
     def run(batches):
         from ..functions.tokenize import tokenize_arrays
+        from .assets import resolve_assets
 
-        assets = assets_bc.value
+        # the broadcast carries either the materialized KbAssets or an
+        # AssetStore handle (Parquet-backed lazy loading — the scale
+        # path for a KB that outgrows driver collect/broadcast)
+        assets = resolve_assets(assets_bc.value)
         npa = _np_assets(assets)
         for pdf in batches:
             data = {c: [] for c in cols}

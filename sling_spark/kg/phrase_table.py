@@ -164,9 +164,11 @@ def phrase_table_dict(phrase_table: DataFrame) -> dict[int, list[tuple]]:
     (sling/nlp/kb/phrase-table.h:60-62 Acquire).
 
     The KB-side tables are dimension-sized (items/aliases), not
-    corpus-sized; at 100 TB corpus the phrase table is still ~GBs and
-    broadcast-able. A join-based fallback exists in mentions.py for a
-    table that outgrows broadcast.
+    corpus-sized; at 100 TB corpus the phrase table is still ~GBs.
+    A table that outgrows driver collect/broadcast uses the Parquet-
+    backed worker-side store instead (assets.build_asset_store /
+    AssetStore): no driver materialization at all — workers lazily read
+    the Parquet per process, the repository memory-map analog.
     """
     rows = phrase_table.collect()
     out: dict[int, list[tuple]] = {}

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.corpus import corpus_df
-from .assets import build_assets, phrase_table_future, seed_dataframes
+from .assets import build_assets, phrase_table_future, seed_dataframes  # noqa: F401
 from .documents import doc_stats, latest_with_sha
 from .mentions import annotate, mentions_of, relations_of
 from .reconcile import invert_statements, kb_triples, merge_items, reconcile_items
@@ -54,12 +54,19 @@ def run_pipeline(
     corpus: DataFrame | None = None,
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
+    seed: dict[str, DataFrame] | None = None,
+    asset_store_dir: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Run the full pipeline; returns every stage output by name."""
-    seed = seed_dataframes(spark)
+    """Run the full pipeline; returns every stage output by name.
+
+    ``seed`` injects a different KB (e.g. wikidata-importer output) in
+    place of the seed fixtures; ``asset_store_dir`` switches annotator
+    assets to the Parquet-backed worker-side store (no driver collect —
+    the path for a KB that outgrows broadcast)."""
+    seed = seed or seed_dataframes(spark)
     # corpus-independent branch starts immediately: its jobs interleave
     # with the corpus/documents/stats stages below (two submitter threads)
-    pt_future = phrase_table_future(spark, seed)
+    pt_future = None if asset_store_dir else phrase_table_future(spark, seed)
     if corpus is None:
         corpus = corpus_df(spark, n_files, partitions=partitions)
     corpus = _materialize(corpus, spark, checkpoint_dir, "corpus")
@@ -80,7 +87,16 @@ def run_pipeline(
     if checkpoint_dir is None:
         stats = stats.persist()
 
-    assets_bc, phrase_table = build_assets(spark, stats, seed, pt_future=pt_future)
+    if asset_store_dir:
+        from .assets import build_asset_store
+
+        assets_bc, phrase_table = build_asset_store(
+            spark, stats, asset_store_dir, seed
+        )
+    else:
+        assets_bc, phrase_table = build_assets(
+            spark, stats, seed, pt_future=pt_future
+        )
 
     # ONE annotation pass emits mention + relation rows together (the
     # annotator-chain shape; relations are order-dependent within a

@@ -286,3 +286,111 @@ def test_inverse_property_reconciliation(spark):
     # the seed KB exercises both gendered branches
     pids = {p for _i, p, _o in spark_frags}
     assert "P22" in pids and {"P101", "P103", "P108"} <= pids
+
+
+def test_asset_store_scale_path(spark, tmp_path):
+    """The 100x-scale asset path (SLING repository memory-map analog):
+    build_asset_store writes Parquet + broadcasts only a handle — NO
+    driver collect anywhere — and workers lazily load per process.
+    Results are identical to broadcast mode; asset dicts derived from
+    the KB DataFrames match the fixture literals."""
+    import pickle
+
+    import pyspark.sql as psql
+
+    from sling_spark.kg.assets import (
+        AssetStore,
+        build_asset_store,
+        build_assets,
+        gender_from_items,
+        links_from_items,
+        load_assets,
+        seed_dataframes,
+    )
+    from sling_spark.kg.documents import doc_stats, latest_with_sha
+    from sling_spark.kg.mentions import detect_mentions
+    from sling_spark.sources import kb
+    from sling_spark.sources.corpus import corpus_df
+
+    seed = seed_dataframes(spark)
+    docs = latest_with_sha(corpus_df(spark, 30, partitions=4)).persist()
+    stats = doc_stats(docs).persist()
+    stats.count()
+
+    # --- DataFrame-derived asset dicts == fixture literals -------------
+    fix_links = {}
+    for r in kb.links_rows():
+        fix_links.setdefault(r["src"], []).append((r["dst"], r["count"]))
+    for v in fix_links.values():
+        v.sort()
+    df_links = {}
+    for r in links_from_items(seed["items"]).collect():
+        df_links.setdefault(r["src"], []).append((r["dst"], r["count"]))
+    for v in df_links.values():
+        v.sort()
+    assert df_links == fix_links
+    assert {
+        r["id"]: r["gender"] for r in gender_from_items(seed["items"]).collect()
+    } == kb.gender_lookup()
+
+    # --- store mode: zero driver-side collect ---------------------------
+    bc1, _ = build_assets(spark, stats, seed)
+    store_dir = str(tmp_path / "assets")
+    orig_collect = psql.DataFrame.collect
+
+    def no_collect(self, *a, **k):
+        raise AssertionError("store mode must not collect on the driver")
+
+    psql.DataFrame.collect = no_collect
+    try:
+        bc2, _pt = build_asset_store(spark, stats, store_dir, seed)
+    finally:
+        psql.DataFrame.collect = orig_collect
+    # the broadcast payload is a tiny handle, not the tables
+    assert isinstance(bc2.value, AssetStore)
+    assert len(pickle.dumps(bc2.value)) < 1000
+
+    # --- store-mode annotation == broadcast-mode annotation ------------
+    key = ["repo", "path", "begin", "end", "entity", "score"]
+    m1 = sorted(tuple(r[k] for k in key) for r in detect_mentions(docs, bc1).collect())
+    m2 = sorted(tuple(r[k] for k in key) for r in detect_mentions(docs, bc2).collect())
+    assert m1 == m2 and len(m1) > 0
+
+    # --- worker-side loader handles a table far beyond fixture scale ---
+    from sling_spark.functions.tokenize import phrase_fingerprint, phrase_form
+
+    big = [
+        {
+            "entity": f"E{i}",
+            "alias": f"bigalias{i} v{j}",
+            "fp": phrase_fingerprint(f"bigalias{i} v{j}"),
+            "count": 5 + j,
+            "form": phrase_form(f"bigalias{i} v{j}"),
+            "sources": 2,
+        }
+        for i in range(20000)
+        for j in range(2)
+    ]
+    big_seed = dict(seed, aliases=spark.createDataFrame(
+        big, schema="entity string, alias string, fp long, count int, form int, sources int"
+    ))
+    big_dir = str(tmp_path / "big_assets")
+    psql.DataFrame.collect = no_collect
+    try:
+        bc3, _ = build_asset_store(spark, stats, big_dir, big_seed)
+    finally:
+        psql.DataFrame.collect = orig_collect
+    loaded = load_assets(bc3.value)
+    # the alias selector folds the edit-distance-1 "v0" variant into
+    # "v1" per entity, leaving one phrase per entity — 20k entries
+    assert len(loaded.phrase_table) >= 20000
+    # a doc mentioning a big-table alias resolves through the store
+    probe = spark.createDataFrame(
+        [("r", "p", "c", "sha", "uses bigalias7 v1 here")],
+        "repo string, path string, commit string, content_sha string, content string",
+    )
+    ents = {r["entity"] for r in detect_mentions(probe, bc3).collect()}
+    assert "E7" in ents
+
+    docs.unpersist()
+    stats.unpersist()

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--asset-store", default=None,
+                    help="worker-visible dir: Parquet-backed annotator "
+                         "assets loaded lazily per worker (no driver "
+                         "collect) — for a KB that outgrows broadcast")
     args = ap.parse_args()
 
     from sling_spark.kg.materialize import (
@@ -64,6 +68,7 @@ def main() -> None:
         corpus=corpus,
         checkpoint_dir=args.checkpoint,
         partitions=args.partitions,
+        asset_store_dir=args.asset_store,
     )
     write_triples(res["triples"], f"{args.output}/triples")
     res["kb_items"].write.mode("overwrite").parquet(f"{args.output}/kb_items")
