@@ -122,6 +122,94 @@ def _pron_code(word: str) -> int:
     return PRONOUN_GENDER.get(word.casefold(), -1)
 
 
+_NUM_TOK_RE = None  # lazily compiled (avoid import-order cost)
+
+
+@lru_cache(maxsize=1 << 18)
+def _lit_word(word: str):
+    """Literal classification of one token (cached per unique word):
+    None for non-numeric words, else (value_str, is_year, is_y4).
+    value_str is the PARSED number rendered (NumberAnnotator annotates
+    the numeric value, not the surface); is_year is the reference's
+    '4 digits in 1582..2038' rule (mentions.cc:570-585) that flips a
+    number span to a date span."""
+    global _NUM_TOK_RE
+    if _NUM_TOK_RE is None:
+        import re
+
+        _NUM_TOK_RE = re.compile(r"\d+(\.\d+)?\Z")
+    if not _NUM_TOK_RE.match(word):
+        return None
+    from ..functions.numbers import is_year, parse_number_format
+
+    v = parse_number_format(word)
+    if v is None:
+        return None
+    return (str(v), is_year(word), len(word) == 4 and word.isdigit())
+
+
+@lru_cache(maxsize=1 << 18)
+def _unit_of(word: str) -> str | None:
+    from ..sources.kb import UNITS
+
+    return UNITS.get(word.lower())
+
+
+def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
+    """Date / number / measure span candidates (the DateAnnotator /
+    NumberAnnotator / MeasureAnnotator chart contributions, reference
+    sling/nlp/silver/mentions.h:256-391), over one token array:
+
+    - ISO date runs ``YYYY-MM[-DD]`` (adjacent tokens — BREAK_NONE means
+      zero gap — month 1..12, day 1..31); only the maximal form per start
+    - bare years (4 digits in 1582..2038 → date span, value = surface)
+    - numbers: a numeric token annotated with its PARSED value
+    - measures: number followed (same line: break ≤ SPACE) by a unit
+      alias → ``<value>@<unit-id>``
+
+    All spans compete in the DP cover like phrase spans; values are the
+    fact-object literal forms, so distant supervision can target them
+    (e.g. P6 release dates). Returns (begin, end, value) token spans."""
+    out: list[tuple[int, int, str]] = []
+    n = len(words)
+    for i in range(n):
+        lit = _lit_word(words[i])
+        if lit is None:
+            continue
+        value, year, y4 = lit
+        # ISO date run (maximal)
+        if (
+            y4
+            and i + 2 < n
+            and words[i + 1] == "-"
+            and brks[i + 1] == 0
+            and brks[i + 2] == 0
+            and len(words[i + 2]) == 2
+            and words[i + 2].isdigit()
+            and 1 <= int(words[i + 2]) <= 12
+        ):
+            if (
+                i + 4 < n
+                and words[i + 3] == "-"
+                and brks[i + 3] == 0
+                and brks[i + 4] == 0
+                and len(words[i + 4]) == 2
+                and words[i + 4].isdigit()
+                and 1 <= int(words[i + 4]) <= 31
+            ):
+                out.append((i, i + 5, f"{words[i]}-{words[i + 2]}-{words[i + 4]}"))
+            else:
+                out.append((i, i + 3, f"{words[i]}-{words[i + 2]}"))
+        # bare year (date) or plain number
+        out.append((i, i + 1, words[i] if year else value))
+        # measure: number + unit alias on the same line
+        if i + 1 < n and brks[i + 1] <= 1:
+            unit = _unit_of(words[i + 1])
+            if unit is not None:
+                out.append((i, i + 2, f"{value}@{unit}"))
+    return out
+
+
 class _NpAssets:
     """Executor-side derived lookup arrays: sorted key arrays for the
     vectorized membership/IDF probes plus the per-entity ordered-facts
@@ -239,17 +327,18 @@ def _solve_cover(cands: list[tuple[int, int, int, int]], n: int):
     candidate-end positions are evaluated — O(#candidates log) instead
     of O(sentence length). Tie-breaking replicates the dense loop:
     a span must be STRICTLY cheaper than skipping, candidates at one end
-    are tried in ascending (begin, fp, form) order, and backtracking
-    from the sentence end takes the latest chosen end each time.
-    ``cands``: (begin, end, fp, form) sentence-relative; returns chosen
-    spans in left-to-right order."""
+    are tried in ascending (begin, fp, form, literal) order, and
+    backtracking from the sentence end takes the latest chosen end each
+    time. ``cands``: (begin, end, fp, form, literal) sentence-relative
+    (literal is "" for phrase spans, the value string for date/number/
+    measure spans); returns chosen spans in left-to-right order."""
     if not cands:
         return []
     from bisect import bisect_right
 
-    by_end: dict[int, list[tuple[int, int, int]]] = {}
-    for b, e, fp, form in cands:
-        by_end.setdefault(e, []).append((b, fp, form))
+    by_end: dict[int, list[tuple[int, int, int, str]]] = {}
+    for b, e, fp, form, lit in cands:
+        by_end.setdefault(e, []).append((b, fp, form, lit))
 
     pts_pos = [0]
     pts_val = [0.0]
@@ -271,16 +360,34 @@ def _solve_cover(cands: list[tuple[int, int, int, int]], n: int):
         if choice is not None:
             choice_at[e] = choice
 
-    spans: list[tuple[int, int, int, int]] = []
+    spans: list[tuple[int, int, int, int, str]] = []
     cur = n
     for e in sorted(choice_at, reverse=True):
         if e > cur:
             continue
-        b, fp, form = choice_at[e]
-        spans.append((b, e, fp, form))
+        b, fp, form, lit = choice_at[e]
+        spans.append((b, e, fp, form, lit))
         cur = b
     spans.reverse()
     return spans
+
+
+def _merge_candidates(cb, ce, cfp, cform, lits):
+    """Merge phrase candidates (arrays) with literal-span candidates
+    (list of (b, e, value)) into begin-sorted arrays + an aligned
+    literal-value list ('' on phrase spans)."""
+    if not lits:
+        return cb, ce, cfp, cform, [""] * len(cb)
+    m = len(lits)
+    lb = np.fromiter((t[0] for t in lits), np.int64, count=m)
+    le = np.fromiter((t[1] for t in lits), np.int64, count=m)
+    b = np.concatenate([cb, lb])
+    e = np.concatenate([ce, le])
+    fp = np.concatenate([cfp, np.zeros(m, np.uint64)])
+    form = np.concatenate([cform, np.full(m, CASE_NONE, np.int8)])
+    lit = [""] * len(cb) + [t[2] for t in lits]
+    order = np.argsort(b, kind="stable")
+    return b[order], e[order], fp[order], form[order], [lit[k] for k in order]
 
 
 def annotate_document(
@@ -314,8 +421,9 @@ def annotate_document(
     cb, ce, cfp, cform = _enumerate_candidates(
         fps_a, forms_a, alpha, lower, sent_start, npa, min_idf, max_span
     )
+    merged = _merge_candidates(cb, ce, cfp, cform, _literal_candidates(words, brks_a))
     return _annotate_from_candidates(
-        words, brks_a, fps_a, forms_a, (cb, ce, cfp, cform), assets, npa
+        words, brks_a, fps_a, forms_a, merged, assets, npa
     )
 
 
@@ -340,7 +448,7 @@ def _annotate_from_candidates(
     prio = _PRIO
     ordered_facts = npa.ordered_facts
 
-    cb, ce, cfp, cform = cands
+    cb, ce, cfp, cform, clit = cands
     context: dict[str, float] = {}
     mentioned: set[str] = set()
     mentions: list[dict] = []
@@ -365,7 +473,7 @@ def _annotate_from_candidates(
         lo, hi = cuts[s_idx], cuts[s_idx + 1]
         if hi > lo:
             sent_cands = [
-                (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k])
+                (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k], clit[k])
                 for k in range(lo, hi)
             ]
             spans = _solve_cover(sent_cands, n)
@@ -374,7 +482,26 @@ def _annotate_from_candidates(
 
         # ---- 4: resolve, left to right --------------------------------
         sent_mentions: list[tuple[int, int, str]] = []  # (begin_abs, end_abs, entity)
-        for b_rel, e_rel, fp, form in spans:
+        for b_rel, e_rel, fp, form, lit in spans:
+            if lit:
+                # literal span (date/number/measure): the value IS the
+                # annotation — no resolver, no context update
+                b_abs, e_abs = sb + b_rel, sb + e_rel
+                sent_mentions.append((b_abs, e_abs, lit))
+                mentions.append(
+                    {
+                        "sentence": s_idx,
+                        "begin": b_abs,
+                        "end": e_abs,
+                        "phrase": " ".join(words[b_abs:e_abs]),
+                        "fp": 0,
+                        "entity": lit,
+                        "score": 0.0,
+                        "form": CASE_NONE,
+                        "anaphora": False,
+                    }
+                )
+                continue
             best = None
             best_key = None
             for entity, count, aform, _rel in phrase_table[fp]:
@@ -550,12 +677,16 @@ def annotate(
             for j, ta in enumerate(docs):
                 off = int(offs[j])
                 lo, hi = doc_cuts[j], doc_cuts[j + 1]
+                merged = _merge_candidates(
+                    cb[lo:hi] - off, ce[lo:hi] - off, cfp[lo:hi], cform[lo:hi],
+                    _literal_candidates(ta.words, ta.brks),
+                )
                 ms, rs = _annotate_from_candidates(
                     ta.words,
                     ta.brks,
                     ta.fps,
                     ta.forms,
-                    (cb[lo:hi] - off, ce[lo:hi] - off, cfp[lo:hi], cform[lo:hi]),
+                    merged,
                     assets,
                     npa,
                 )

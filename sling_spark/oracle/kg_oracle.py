@@ -22,6 +22,7 @@ from collections import defaultdict
 
 from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
 from ..functions.normalize import CASE_NONE, normalize_phrase
+from ..functions.numbers import is_year, parse_number_format
 from ..functions.tokenize import sentences, tokenize
 from ..kg.mentions import (
     ANAPHORA_WINDOW,
@@ -143,6 +144,7 @@ def annotate(
     max_span: int = DEFAULT_MAX_SPAN,
 ) -> list[dict]:
     gender = kb.gender_lookup()  # anaphora agreement (anaphora.cc:178-190)
+    num_re = re.compile(r"\d+(\.\d+)?\Z")
     mentions: list[dict] = []
     for d in docs:
         toks = d["tokens"]
@@ -152,7 +154,7 @@ def annotate(
         for s_idx, (sb, se) in enumerate(sentences(toks)):
             n = se - sb
             # enumerate candidate spans
-            ends: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+            ends: dict[int, list[tuple[int, int, int, str]]] = defaultdict(list)
             for b in range(n):
                 if toks[sb + b].fp == FP_SKIPPED:
                     continue
@@ -180,7 +182,49 @@ def annotate(
                         form = alpha[0]
                     else:
                         form = CASE_NONE
-                    ends[b + l].append((b, fp, form))
+                    ends[b + l].append((b, fp, form, ""))
+            # literal spans: dates / numbers / measures (mentions.h:256-391)
+            for b in range(n):
+                w = toks[sb + b].word
+                if not num_re.match(w):
+                    continue
+                v = parse_number_format(w)
+                if v is None:
+                    continue
+                y4 = len(w) == 4 and w.isdigit()
+
+                def tok(k):
+                    return toks[sb + b + k]
+
+                if (
+                    y4
+                    and b + 2 < n
+                    and tok(1).word == "-"
+                    and tok(1).brk == 0
+                    and tok(2).brk == 0
+                    and len(tok(2).word) == 2
+                    and tok(2).word.isdigit()
+                    and 1 <= int(tok(2).word) <= 12
+                ):
+                    if (
+                        b + 4 < n
+                        and tok(3).word == "-"
+                        and tok(3).brk == 0
+                        and tok(4).brk == 0
+                        and len(tok(4).word) == 2
+                        and tok(4).word.isdigit()
+                        and 1 <= int(tok(4).word) <= 31
+                    ):
+                        ends[b + 5].append(
+                            (b, 0, CASE_NONE, f"{w}-{tok(2).word}-{tok(4).word}")
+                        )
+                    else:
+                        ends[b + 3].append((b, 0, CASE_NONE, f"{w}-{tok(2).word}"))
+                ends[b + 1].append((b, 0, CASE_NONE, w if is_year(w) else str(v)))
+                if b + 1 < n and tok(1).brk <= 1:
+                    unit = kb.UNITS.get(tok(1).word.lower())
+                    if unit is not None:
+                        ends[b + 2].append((b, 0, CASE_NONE, f"{v}@{unit}"))
             # DP min-cost cover
             INF = float("inf")
             dp = [0.0] + [INF] * n
@@ -188,10 +232,10 @@ def annotate(
             for e in range(1, n + 1):
                 cost = dp[e - 1] + TOKEN_SKIP_COST
                 choice = None
-                for b, fp, form in sorted(ends.get(e, [])):
-                    c = dp[b] + SPAN_COST
+                for cand in sorted(ends.get(e, [])):
+                    c = dp[cand[0]] + SPAN_COST
                     if c < cost:
-                        cost, choice = c, (b, fp, form)
+                        cost, choice = c, cand
                 dp[e] = cost
                 back[e] = choice
             spans = []
@@ -201,12 +245,35 @@ def annotate(
                 if ch is None:
                     e -= 1
                 else:
-                    spans.append((ch[0], e, ch[1], ch[2]))
+                    spans.append((ch[0], e, ch[1], ch[2], ch[3]))
                     e = ch[0]
             spans.reverse()
             # resolve left-to-right
             sent_spans = []
-            for b_rel, e_rel, fp, form in spans:
+            for b_rel, e_rel, fp, form, lit in spans:
+                if lit:
+                    sent_spans.append((sb + b_rel, sb + e_rel))
+                    doc_mentions.append(
+                        {
+                            "repo": d["repo"],
+                            "path": d["path"],
+                            "commit": d["commit"],
+                            "content_sha": d["content_sha"],
+                            "sentence": s_idx,
+                            "begin": sb + b_rel,
+                            "end": sb + e_rel,
+                            "phrase": " ".join(
+                                toks[i].word
+                                for i in range(sb + b_rel, sb + e_rel)
+                            ),
+                            "fp": 0,
+                            "entity": lit,
+                            "score": 0.0,
+                            "form": CASE_NONE,
+                            "anaphora": False,
+                        }
+                    )
+                    continue
                 best, best_key = None, None
                 for entity, count, aform, _rel in phrase_table[fp]:
                     score = (BASE_CONTEXT + context.get(entity, 0.0)) * count

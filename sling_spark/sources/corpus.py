@@ -46,6 +46,10 @@ _REL_TEMPLATES = {
            "{s} uses {o} as its storage format"],
     "P7": ["{s} created {o} back in the day",
            "{o} was originally created by {s}"],
+    # literal-valued: the object is the P6 date itself (exercises the
+    # date-span annotators + literal relation targets, mentions.h:349)
+    "P6": ["{s} was released on {o}",
+           "{s} first shipped {o}"],
 }
 
 _SINGLE_TEMPLATES = [
@@ -82,6 +86,11 @@ _NOISE = [
     "emit metrics to the local collector",
     "cache results keyed by the request digest",
     "rotate the log files once per day",
+    # numeric / measure sentences (number + measure span annotators)
+    "the ring buffer holds 4096 entries by default",
+    "hard timeout is 2.5 sec per attempt",
+    "payloads are capped at 64 kb on ingest",
+    "retry after 250 ms on connection reset",
 ]
 
 _IDENTS = ["handler", "worker", "cursor", "buffer", "router", "codec",
@@ -182,7 +191,10 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
             stmts = [st for st in _FACTS[s] if st[0] not in kb.BLOCKED_PROPERTIES]
             pid, obj = rng.choice(stmts)
             tpl = rng.choice(_REL_TEMPLATES[pid])
-            comment(tpl.format(s=_pick_alias(rng, s), o=_pick_alias(rng, obj)))
+            # literal objects (P6 dates) render verbatim — there is no
+            # alias for a date; the date-span annotator must recover it
+            o_text = _pick_alias(rng, obj) if obj in _ENTITY_ALIASES else obj
+            comment(tpl.format(s=_pick_alias(rng, s), o=o_text))
             primed.extend([s, obj])
         elif kind < 7:  # single-mention sentence
             s = rng.choice(list(_ENTITY_ALIASES))

@@ -60,6 +60,22 @@ GENDERED_PARENT = "P8810"  # inverse sentinel (n_parent_, reconciler.cc:255)
 FATHER, MOTHER = "P22", "P25"
 MALE, FEMALE = "Q91", "Q92"
 
+# Unit alias table for the measure annotator (MeasureAnnotator,
+# sling/nlp/silver/mentions.h:318-345). The reference resolves units via
+# phrase-table lookup + P31 unit-type check on wikidata items; our code
+# corpus carries no wikidata unit items, so the unit inventory is this
+# explicit dimension table (numbers.quantity's documented convention).
+# Unit ids live in a "/u/" namespace so they can never collide with
+# entity Q-ids.
+UNITS: dict[str, str] = {
+    "kb": "/u/kilobyte",
+    "mb": "/u/megabyte",
+    "gb": "/u/gigabyte",
+    "ms": "/u/millisecond",
+    "sec": "/u/second",
+    "px": "/u/pixel",
+}
+
 # relation-extraction property priority (analog of relations.cc:38-55
 # P27>P17>P19>P20>P119) and blocked list (relations.cc:56-66 — the
 # reference blocks sex-or-gender from relation mining; so do we).
@@ -92,15 +108,16 @@ CASELESS_NAMESPACES: set[str] = {"github", "pypi", "maven", "npm"}  # lowercased
 _E = [
     ("Q1", "Apache Spark", ["framework"],
      [("Apache Spark", 120), ("Spark", 300), ("PySpark", 90)],
-     [("P1", "Q2"), ("P2", "Q15"), ("P3", "Q50"), ("P4", "Q60"), ("P5", "Q20")],
+     [("P1", "Q2"), ("P2", "Q15"), ("P3", "Q50"), ("P4", "Q60"), ("P5", "Q20"),
+      ("P6", "2014-02-27")],
      [("github", "apache/spark"), ("pypi", "pyspark"), ("maven", "org.apache.spark")]),
     ("Q2", "Apache Hadoop", ["framework"],
      [("Apache Hadoop", 80), ("Hadoop", 200)],
-     [("P2", "Q11"), ("P3", "Q50"), ("P4", "Q60")],
+     [("P2", "Q11"), ("P3", "Q50"), ("P4", "Q60"), ("P6", "2006-04")],
      [("github", "apache/hadoop"), ("maven", "org.apache.hadoop")]),
     ("Q3", "NumPy", ["library"],
      [("NumPy", 250), ("numpy", 400)],
-     [("P2", "Q16"), ("P4", "Q62"), ("P1", "Q10")],
+     [("P2", "Q16"), ("P4", "Q62"), ("P1", "Q10"), ("P6", "2006")],
      [("github", "numpy/numpy"), ("pypi", "numpy")]),
     ("Q4", "pandas", ["library"],
      [("pandas", 350)],
@@ -116,7 +133,8 @@ _E = [
      [("github", "tensorflow/tensorflow"), ("pypi", "tensorflow")]),
     ("Q7", "PyTorch", ["library"],
      [("PyTorch", 240), ("torch", 160)],
-     [("P2", "Q16"), ("P3", "Q52"), ("P4", "Q62"), ("P1", "Q3"), ("P279", "Q71")],
+     [("P2", "Q16"), ("P3", "Q52"), ("P4", "Q62"), ("P1", "Q3"), ("P279", "Q71"),
+      ("P6", "2016-09")],
      [("github", "pytorch/pytorch"), ("pypi", "torch")]),
     ("Q8", "Apache Kafka", ["system"],
      [("Apache Kafka", 60), ("Kafka", 170)],
@@ -128,7 +146,7 @@ _E = [
      [("github", "apache/flink"), ("maven", "org.apache.flink")]),
     ("Q10", "Python", ["language"],
      [("Python", 500), ("python", 450), ("CPython", 30)],
-     [("P2", "Q16"), ("P4", "Q64")],
+     [("P2", "Q16"), ("P4", "Q64"), ("P6", "1991-02-20")],
      [("github", "python/cpython")]),
     ("Q11", "Java", ["language"],
      [("Java", 400)],

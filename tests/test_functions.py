@@ -191,7 +191,13 @@ def test_render_lex_over_pipeline(spark):
         _text, spans = parse_lex(r["lex"])
         total_spans += len(spans)
         for _b, _e, ref in spans:
-            assert ref.startswith(("Q", "P")) or ref == ""
+            # entity refs (Q/P ids) or literal date/number/measure values
+            assert (
+                ref.startswith(("Q", "P"))
+                or ref == ""
+                or ref[0].isdigit()
+                or ref[0] == "-"
+            ), ref
     assert total_spans == n_mentions
 
 
