@@ -29,8 +29,9 @@ def corpus_anchor_aliases(mentions: DataFrame, min_count: int = 2) -> DataFrame:
     """mentions → anchor-alias rows (entity, alias, fp, count, form,
     sources=SRC_ANCHOR). One hash aggregation by (entity, fp); the
     surface form kept is the most frequent one (max_by), form likewise.
-    Anaphors are excluded (a pronoun is not an alias)."""
-    base = mentions.filter(~F.col("anaphora")).groupBy(
+    Anaphors are excluded (a pronoun is not an alias), as are literal
+    date/number/measure mentions (fp = 0 — a value is not an alias)."""
+    base = mentions.filter(~F.col("anaphora") & (F.col("fp") != 0)).groupBy(
         "entity", "fp", F.col("phrase").alias("alias"), "form"
     ).agg(F.count("*").cast("int").alias("variant_count"))
     per_alias = base.groupBy("entity", "fp").agg(

@@ -126,10 +126,12 @@ def gender_from_items(items: DataFrame) -> DataFrame:
 def asset_dataframes(
     spark: SparkSession, seed: dict[str, DataFrame], min_alias_count: int = 2
 ) -> dict[str, DataFrame]:
-    """Every corpus-independent annotator asset as a DataFrame plan."""
+    """Every corpus-independent annotator asset as a DataFrame plan.
+    ``min_alias_count`` is the anchor threshold for corpus-derived
+    aliases (trusted NAME/ALIAS sources always pass selection)."""
     from .relations import facts_df
 
-    selected = select_aliases(seed["aliases"], min_count=min_alias_count)
+    selected = select_aliases(seed["aliases"], anchor_threshold=min_alias_count)
     return {
         "phrase_table": build_phrase_table(selected),
         "links": links_from_items(seed["items"]),

@@ -70,41 +70,127 @@ def latest_corpus(n_files: int) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def _lev(a: str, b: str) -> int:
+def _lev(a: str, b: str, limit: int = 1) -> int:
     if a == b:
         return 0
-    if abs(len(a) - len(b)) > 1:
-        return 2
+    if abs(len(a) - len(b)) > limit:
+        return limit + 1
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]
         for j, cb in enumerate(b, 1):
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        if min(cur) > limit:
+            return limit + 1
         prev = cur
     return prev[-1]
 
 
-def build_phrase_table(min_count: int = 2) -> dict[int, list[tuple]]:
+def _prefix_len(a: str, b: str) -> int:
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def _digits_match(a: str, b: str) -> bool:
+    m = 0
+    for ch in a:
+        if ch.isdigit():
+            ok = False
+            while m < len(b):
+                c = b[m]
+                m += 1
+                if c == ch:
+                    ok = True
+                    break
+            if not ok:
+                return False
+    while m < len(b):
+        if b[m].isdigit():
+            return False
+        m += 1
+    return True
+
+
+def select_alias_rows(
+    rows: list[dict],
+    anchor_threshold: int = 100,
+    majority_form_fraction: float = 0.75,
+    min_prefix: int = 2,
+    max_edit_distance: int = 1,
+) -> list[dict]:
+    """Independent twin of phrase_table.select_aliases (AliasSelector,
+    aliases.cc:246-624): fingerprint grouping, trusted/anchor selection,
+    variation pass, majority case form."""
     by_entity: dict[str, list[dict]] = defaultdict(list)
-    for r in kb.alias_rows():
+    for r in rows:
         by_entity[r["entity"]].append(dict(r))
-    selected: list[dict] = []
-    for _entity, rows in sorted(by_entity.items()):
-        rows.sort(key=lambda r: (-r["count"], r["alias"]))
-        kept: list[dict] = []
-        for r in rows:
-            norm = normalize_phrase(r["alias"])
-            target = next(
-                (k for k in kept if _lev(norm, k["_norm"]) <= 1), None
+    out: list[dict] = []
+    for entity in sorted(by_entity):
+        groups: dict[int, dict] = {}
+        for r in by_entity[entity]:
+            g = groups.setdefault(
+                r["fp"],
+                {"variants": defaultdict(int), "forms": [0] * 4,
+                 "sources": 0, "count": 0},
             )
-            if target is not None:
-                target["count"] += r["count"]
-                target["sources"] |= r["sources"]
-            else:
-                r["_norm"] = norm
-                kept.append(r)
-        selected.extend(k for k in kept if k["count"] >= min_count)
-    # group by (fp, entity): sum counts, form of max-count variant
+            g["count"] += r["count"]
+            g["variants"][r["alias"]] += r["count"]
+            g["forms"][r["form"]] += r["count"]
+            g["sources"] |= r["sources"]
+        for g in groups.values():
+            g["name"] = min(g["variants"], key=lambda a: (-g["variants"][a], a))
+            g["norm"] = normalize_phrase(g["name"])
+            g["selected"] = bool(g["sources"] & 3) or (
+                bool(g["sources"] & 4) and g["count"] >= anchor_threshold
+            )
+        if max_edit_distance > 0:
+            for fp in sorted(groups):
+                g = groups[fp]
+                if g["selected"]:
+                    continue
+                for ofp in sorted(groups):
+                    a = groups[ofp]
+                    if not a["selected"] or a["sources"] & 8:
+                        continue
+                    if _prefix_len(g["norm"], a["norm"]) < min_prefix:
+                        continue
+                    if _lev(g["norm"], a["norm"], max_edit_distance) > max_edit_distance:
+                        continue
+                    if not _digits_match(g["norm"], a["norm"]):
+                        continue
+                    g["selected"] = True
+                    g["sources"] |= 8
+                    break
+        for fp in sorted(groups):
+            g = groups[fp]
+            if not g["selected"] or not g["name"]:
+                continue
+            form = CASE_NONE
+            for f in range(4):
+                if g["forms"][f] >= g["count"] * majority_form_fraction:
+                    form = f
+                    break
+            out.append(
+                {
+                    "entity": entity,
+                    "alias": g["name"],
+                    "fp": fp,
+                    "count": g["count"],
+                    "form": form,
+                    "sources": g["sources"],
+                    "reliable": bool(g["sources"] & 3),
+                }
+            )
+    return out
+
+
+def build_phrase_table() -> dict[int, list[tuple]]:
+    selected = select_alias_rows(kb.alias_rows())
+    # group by (fp, entity): one row per pair after selection
     per = defaultdict(lambda: {"count": 0, "form": None, "best": -1})
     for s in selected:
         slot = per[(s["fp"], s["entity"])]

@@ -394,3 +394,70 @@ def test_asset_store_scale_path(spark, tmp_path):
 
     docs.unpersist()
     stats.unpersist()
+
+
+def test_alias_selector_thresholds(spark):
+    """Full AliasSelector semantics (reference aliases.cc:246-624):
+    anchor_threshold on pure anchors, variation adoption gated by
+    min_prefix + max_edit_distance + same-digits, majority case form."""
+    from sling_spark.functions.normalize import CASE_LOWER, CASE_NONE, CASE_UPPER
+    from sling_spark.functions.tokenize import phrase_fingerprint, phrase_form
+    from sling_spark.kg.assets import ALIAS_SCHEMA, seed_dataframes
+    from sling_spark.kg.phrase_table import select_aliases
+    from sling_spark.oracle.kg_oracle import select_alias_rows
+    from sling_spark.sources import kb
+
+    def row(entity, alias, count, sources, form=None):
+        return {
+            "entity": entity, "alias": alias,
+            "fp": phrase_fingerprint(alias), "count": count,
+            "form": phrase_form(alias) if form is None else form,
+            "sources": sources,
+        }
+
+    rows = [
+        row("E1", "Widget", 5, 1),        # trusted: always selected
+        row("E1", "gadget", 50, 4),       # pure anchor < threshold: dropped
+        row("E1", "doohickey", 150, 4),   # pure anchor >= threshold: kept
+        row("E1", "widgets", 3, 4),       # variation of Widget (prefix+edit1)
+        row("E1", "midget", 80, 4),       # edit 1 but prefix 0: dropped
+        row("E1", "mod 9", 4, 2),         # trusted with digit
+        row("E1", "mod 8", 90, 4),        # digits differ: NOT a variation
+        row("E2", "ACME", 30, 2),         # 30/40 >= 0.75 -> UPPER wins
+        row("E2", "acme", 10, 4),
+        row("E3", "Beta", 20, 2),         # 20/40 < 0.75 -> form NONE
+        row("E3", "beta", 20, 4),
+    ]
+    df = spark.createDataFrame(rows, schema=ALIAS_SCHEMA)
+    got = {
+        (r["entity"], r["alias"]): (r["count"], r["form"], r["sources"], r["reliable"])
+        for r in select_aliases(df, anchor_threshold=100).collect()
+    }
+    assert set(got) == {
+        ("E1", "Widget"), ("E1", "doohickey"), ("E1", "widgets"),
+        ("E1", "mod 9"), ("E2", "ACME"), ("E3", "Beta"),
+    }
+    assert got[("E1", "widgets")][2] == 4 | 8  # VARIATION bit set
+    assert got[("E1", "widgets")][3] is False  # not a trusted alias
+    assert got[("E2", "ACME")] == (40, CASE_UPPER, 2 | 4, True)
+    assert got[("E3", "Beta")][1] == CASE_NONE
+    assert got[("E1", "mod 9")][1] == CASE_LOWER
+
+    # oracle twin agrees on the same input
+    oracle = {
+        (r["entity"], r["alias"]): (r["count"], r["form"], r["sources"], r["reliable"])
+        for r in select_alias_rows(rows, anchor_threshold=100)
+    }
+    assert oracle == got
+
+    # and on the full seed KB (fp-group majority forms)
+    seed = seed_dataframes(spark)
+    spark_sel = {
+        (r["entity"], r["fp"]): (r["alias"], r["count"], r["form"])
+        for r in select_aliases(seed["aliases"]).collect()
+    }
+    oracle_sel = {
+        (r["entity"], r["fp"]): (r["alias"], r["count"], r["form"])
+        for r in select_alias_rows(kb.alias_rows())
+    }
+    assert spark_sel == oracle_sel
