@@ -1181,6 +1181,43 @@ def _sql_kg_inverse_fanin() -> str:
     )
 
 
+def q_kg_search_index(spark, sf_dir):
+    """Item search index over the seed KB: term → posting list
+    (search-index-builder.cc:38-292 semantics — alias tokens + year
+    terms from date statements). Oracle: full relational DuckDB twin
+    over the raw alias/statement rows (explode → distinct → group)."""
+    from .kg.aggregates import search_index
+    from .kg.assets import seed_dataframes
+
+    seed = seed_dataframes(spark)
+    return search_index(seed["aliases"], seed["items"])
+
+
+def _sql_kg_search_index() -> str:
+    from .sources import kb
+
+    alias_values = ", ".join(
+        f"({_sql_quote(r['entity'])}, {_sql_quote(r['alias'])})"
+        for r in kb.alias_rows()
+    )
+    return f"""
+WITH al(entity, alias) AS (VALUES {alias_values}),
+st(subj, pid, obj) AS (VALUES {_seed_statement_values()}),
+terms AS (
+  SELECT DISTINCT entity,
+         unnest(string_split_regex(lower(alias), '[^a-z0-9]+')) AS term
+  FROM al
+  UNION
+  SELECT DISTINCT subj AS entity, substr(obj, 1, 4) AS term
+  FROM st WHERE regexp_matches(obj, '^\\d{{4}}(-\\d{{2}})?(-\\d{{2}})?$')
+)
+SELECT term, count(DISTINCT entity)::BIGINT AS n_items,
+       array_to_string(list_sort(list(DISTINCT entity)), ',') AS postings
+FROM terms WHERE term <> ''
+GROUP BY term
+"""
+
+
 def q_doc_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs on the dup fixture, banded
     4 bands x 2 rows over the PORTABLE 8-perm minhash — the full LSH
@@ -1727,6 +1764,7 @@ def queries():
         "kg_alias_term_counts": q_kg_alias_term_counts,
         "kg_item_fanin": q_kg_item_fanin,
         "kg_inverse_fanin": q_kg_inverse_fanin,
+        "kg_search_index": q_kg_search_index,
         "kg_property_usage": q_kg_property_usage,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -1773,6 +1811,7 @@ def oracle_sql():
         "kg_alias_term_counts": _sql_alias_term_counts(),
         "kg_item_fanin": _sql_item_fanin(),
         "kg_inverse_fanin": _sql_kg_inverse_fanin(),
+        "kg_search_index": _sql_kg_search_index(),
         "kg_property_usage": _sql_property_usage(),
         # kg_triples / kg_mentions: the annotator semantics are not
         # ANSI-SQL-expressible, so the independent pure-Python oracle

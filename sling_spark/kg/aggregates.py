@@ -79,6 +79,35 @@ def property_usage(items: DataFrame) -> DataFrame:
     )
 
 
+def search_index(aliases: DataFrame, items: DataFrame) -> DataFrame:
+    """Item search index: term → (n_items, sorted posting list) — the
+    search-index-builder shape (reference sling/nlp/search/
+    search-index-builder.cc:38-292): terms are the lowercase
+    alphanumeric runs of every item name/alias, plus YEAR terms from
+    date-valued statements (:58-61, :135). One explode + one hash
+    aggregation keyed by term; at KB scale the reference buckets terms
+    (:173-175) — here the term IS the shuffle key, which is the same
+    sharding. Postings render as a CSV string (cross-engine hashable)."""
+    alias_terms = aliases.select(
+        "entity",
+        F.explode(F.split(F.lower(F.col("alias")), "[^a-z0-9]+")).alias("term"),
+    )
+    year_terms = (
+        items.select(F.col("id").alias("entity"), F.explode("statements").alias("st"))
+        .filter(F.col("st.object").rlike(r"^\d{4}(-\d{2})?(-\d{2})?$"))
+        .select("entity", F.substring(F.col("st.object"), 1, 4).alias("term"))
+    )
+    terms = (
+        alias_terms.unionByName(year_terms)
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    return terms.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.concat_ws(",", F.array_sort(F.collect_set("entity"))).alias("postings"),
+    )
+
+
 def inverted_index(mentions: DataFrame) -> DataFrame:
     """Entity → sorted posting list of documents mentioning it
     (search-index-builder shape: term → postings)."""

@@ -67,15 +67,29 @@ def run_pipeline(
     # corpus-independent branch starts immediately: its jobs interleave
     # with the corpus/documents/stats stages below (two submitter threads)
     pt_future = None if asset_store_dir else phrase_table_future(spark, seed)
-    if corpus is None:
-        corpus = corpus_df(spark, n_files, partitions=partitions)
-    corpus = _materialize(corpus, spark, checkpoint_dir, "corpus")
+    if corpus is None and checkpoint_dir is None:
+        # synthetic corpus, no raw-corpus checkpoint requested: generate
+        # the latest-version documents DIRECTLY (zero-shuffle; the
+        # winner per file is deterministic — corpus.latest_rows). The
+        # content never enters a shuffle, matching how a real run would
+        # dedup on keys and re-read payloads from the table.
+        from ..sources.corpus import synthetic_documents
 
-    # Raw layout (pure Catalyst: latest-version + sha) — content never
-    # crosses Arrow OUT of Python; the tokenizing consumers below read it.
-    documents = _materialize(
-        latest_with_sha(corpus), spark, checkpoint_dir, "documents"
-    )
+        # the raw corpus stays available LAZILY (provenance/sha audits
+        # recompute it on demand); the pipeline itself never runs it
+        corpus = corpus_df(spark, n_files, partitions=partitions)
+        documents = synthetic_documents(spark, n_files, partitions=partitions)
+    else:
+        if corpus is None:
+            corpus = corpus_df(spark, n_files, partitions=partitions)
+        corpus = _materialize(corpus, spark, checkpoint_dir, "corpus")
+
+        # Raw layout (pure Catalyst: latest-version + sha) — content
+        # never crosses Arrow OUT of Python; the tokenizing consumers
+        # below read it.
+        documents = _materialize(
+            latest_with_sha(corpus), spark, checkpoint_dir, "documents"
+        )
     if checkpoint_dir is None:
         # documents feeds the stats pass AND mention detection; without a
         # parquet checkpoint, cache to avoid recomputing latest-versions.

@@ -162,32 +162,52 @@ def connected_components(
     return labels
 
 
-def _clusters_driver(edge_rows: list[tuple[str, str]]) -> list[dict]:
-    """Global sequential union-find with main+main refusals over a
-    collected edge list — exact xref.cc semantics, used when the edge
-    set is dimension-sized (it IS the oracle algorithm; the distributed
-    CC + per-component repair path is proven equivalent by tests)."""
+CONFLICTS_SCHEMA = (
+    "main_a string, main_b string, edge_a string, edge_b string"
+)
+
+
+def _sequential_union(
+    edge_rows,
+) -> tuple[list[dict], list[dict]]:
+    """Sequential union-find with main+main refusals over an edge list
+    (exact xref.cc:259-283 semantics), returning BOTH the cluster rows
+    and the refused-merge CONFLICT rows — the reference's xref-builder
+    outputs refused main+main merges as conflict frames
+    (sling/nlp/kb/xref-builder.cc:238); silently dropping them hides
+    upstream data problems. Each conflict carries the two main ids that
+    could not merge and the edge that tried."""
     ordered = sorted(set(edge_rows), key=lambda e: _edge_sort_key(*e))
     parent: dict[str, str] = {}
-    has_main: dict[str, bool] = {}
+    main_of: dict[str, str | None] = {}
 
     def find(x: str) -> str:
         parent.setdefault(x, x)
-        has_main.setdefault(x, is_main(x))
+        main_of.setdefault(x, x if is_main(x) else None)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
+    conflicts: list[dict] = []
     for a, b in ordered:
         ra, rb = find(a), find(b)
         if ra == rb:
             continue
-        if has_main[ra] and has_main[rb]:
+        ma, mb = main_of[ra], main_of[rb]
+        if ma is not None and mb is not None:
+            conflicts.append(
+                {
+                    "main_a": display_id(min(ma, mb)),
+                    "main_b": display_id(max(ma, mb)),
+                    "edge_a": a,
+                    "edge_b": b,
+                }
+            )
             continue
         lo, hi = min(ra, rb), max(ra, rb)
         parent[hi] = lo
-        has_main[lo] = has_main[lo] or has_main[hi]
+        main_of[lo] = main_of[lo] or main_of[hi]
     groups: dict[str, list[str]] = {}
     for node in parent:
         groups.setdefault(find(node), []).append(node)
@@ -195,50 +215,48 @@ def _clusters_driver(edge_rows: list[tuple[str, str]]) -> list[dict]:
     for group in groups.values():
         canon = display_id(min(group, key=lambda i: (id_priority(i), i)))
         out.extend({"member_id": m, "canonical_id": canon} for m in group)
-    return out
+    return out, conflicts
+
+
+def _clusters_driver(edge_rows: list[tuple[str, str]]) -> list[dict]:
+    """Global sequential union-find with main+main refusals over a
+    collected edge list — exact xref.cc semantics, used when the edge
+    set is dimension-sized (it IS the oracle algorithm; the distributed
+    CC + per-component repair path is proven equivalent by tests)."""
+    return _sequential_union(edge_rows)[0]
 
 
 def _resolve_component(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sequential union-find for one component, refusing main+main
     unions; edge order = the deterministic global order."""
-    edges = sorted(
-        {(r["a"], r["b"]) for r in pdf.to_dict("records")},
-        key=lambda e: _edge_sort_key(*e),
+    rows, _conflicts = _sequential_union(
+        {(r["a"], r["b"]) for r in pdf.to_dict("records")}
     )
-    parent: dict[str, str] = {}
-    has_main: dict[str, bool] = {}
-
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        has_main.setdefault(x, is_main(x))
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            continue
-        if has_main[ra] and has_main[rb]:
-            continue  # refusal (xref.cc:259-283)
-        lo, hi = min(ra, rb), max(ra, rb)
-        parent[hi] = lo
-        has_main[lo] = has_main[lo] or has_main[hi]
-    members: dict[str, list[str]] = {}
-    for node in parent:
-        members.setdefault(find(node), []).append(node)
-    rows = []
-    for group in members.values():
-        canon = display_id(min(group, key=lambda i: (id_priority(i), i)))
-        rows.extend({"member_id": m, "canonical_id": canon} for m in group)
     return pd.DataFrame(rows, columns=["member_id", "canonical_id"])
 
 
-def build_clusters(same_as: DataFrame, driver_threshold: int = 200_000) -> DataFrame:
+def _component_conflicts(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Conflict rows for one conflicted component (distributed path)."""
+    _rows, conflicts = _sequential_union(
+        {(r["a"], r["b"]) for r in pdf.to_dict("records")}
+    )
+    return pd.DataFrame(
+        conflicts, columns=["main_a", "main_b", "edge_a", "edge_b"]
+    )
+
+
+def build_clusters(
+    same_as: DataFrame,
+    driver_threshold: int = 200_000,
+    return_conflicts: bool = False,
+):
     """same_as edges → (member_id, canonical_id), main-id constraint
     enforced. Singleton ids (no edges) are their own cluster and are
     simply absent — canonicalize() falls through to identity.
+
+    With ``return_conflicts=True`` returns (clusters, conflicts): the
+    refused main+main merges as (main_a, main_b, edge_a, edge_b) rows
+    (xref-builder.cc:238 conflict frames), from BOTH paths.
 
     Edge sets up to ``driver_threshold`` run as a single driver-side
     union-find (the exact sequential semantics; xref tables are
@@ -249,10 +267,15 @@ def build_clusters(same_as: DataFrame, driver_threshold: int = 200_000) -> DataF
     edges = normalized_edges(same_as).persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        rows = _clusters_driver([(r["a"], r["b"]) for r in edges.collect()])
+        rows, conflicts = _sequential_union(
+            [(r["a"], r["b"]) for r in edges.collect()]
+        )
         spark = same_as.sparkSession
         edges.unpersist()
-        return spark.createDataFrame(rows, schema=CLUSTERS_SCHEMA)
+        clusters = spark.createDataFrame(rows, schema=CLUSTERS_SCHEMA)
+        if return_conflicts:
+            return clusters, spark.createDataFrame(conflicts, schema=CONFLICTS_SCHEMA)
+        return clusters
     labels = connected_components(edges)
 
     mains_per_comp = (
@@ -293,6 +316,12 @@ def build_clusters(same_as: DataFrame, driver_threshold: int = 200_000) -> DataF
         _resolve_component, schema=CLUSTERS_SCHEMA
     )
     out = clean_clusters.unionByName(repaired)
+    if return_conflicts:
+        conflicts = comp_edges.groupBy("component").applyInPandas(
+            _component_conflicts, schema=CONFLICTS_SCHEMA
+        )
+        edges.unpersist()
+        return out, conflicts
     edges.unpersist()
     return out
 

@@ -200,3 +200,124 @@ def wikidata_items(dump, lang: str = "en", json_col: str = "value"):
     items = dump.select(json_col).mapInPandas(parse, schema=ITEM_SCHEMA)
     alias_rows = dump.select(json_col).mapInPandas(parse_aliases, schema=ALIAS_SCHEMA)
     return items, alias_rows
+
+
+# ---------------------------------------------------------------------------
+# wikipedia-mapping + multi-language (wikidata-importer.cc:237-365, :495-517)
+# ---------------------------------------------------------------------------
+
+SITELINK_SCHEMA = "qid string, lang string, title string"
+
+#: Wikimedia page-type QIDs (WikimediaTypes, reference sling/nlp/wiki/
+#: wiki.cc): P31 values that classify a linked page's kind.
+WIKIMEDIA_CATEGORY = {"Q4167836"}
+WIKIMEDIA_DISAMBIGUATION = {"Q4167410", "Q22808320"}
+WIKIMEDIA_LIST = {"Q13406463"}
+WIKIMEDIA_TEMPLATE = {"Q11266439"}
+WIKIMEDIA_INFOBOX = {"Q19887878"}
+
+
+def parse_sitelinks(obj: dict) -> list[dict]:
+    """Wikibase ``sitelinks`` → (qid, lang, title) rows; only the
+    ``{lang}wiki`` sites (Wikipedia proper) map, matching Wiki::Id."""
+    if not isinstance(obj, dict):
+        return []
+    qid = obj.get("id")
+    if not isinstance(qid, str) or not qid:
+        return []
+    out = []
+    for site, link in _as_dict(obj.get("sitelinks")).items():
+        if not isinstance(site, str) or not site.endswith("wiki"):
+            continue
+        lang = site[: -len("wiki")]
+        title = link.get("title") if isinstance(link, dict) else None
+        if lang and isinstance(title, str) and title:
+            out.append({"qid": qid, "lang": lang, "title": title})
+    return out
+
+
+def wikidata_sitelinks(dump, json_col: str = "value"):
+    """JSONL dump → sitelink rows (one Arrow pass)."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf[json_col]:
+                try:
+                    obj = json.loads(line)
+                except (TypeError, ValueError):
+                    continue
+                rows.extend(parse_sitelinks(obj))
+            yield pd.DataFrame(rows, columns=["qid", "lang", "title"])
+
+    return dump.select(json_col).mapInPandas(parse, schema=SITELINK_SCHEMA)
+
+
+def wikipedia_mapping(items, sitelinks, lang: str = "en"):
+    """pageid/title → QID dimension (WikipediaMapping, reference
+    wikidata-importer.cc:237-365): for every item with a ``{lang}wiki``
+    sitelink, emit (wiki_id "/wp/{lang}/{title}", qid, kind) where kind
+    classifies the page by its P31 types against the Wikimedia
+    page-type items — precedence list > category > disambiguation >
+    infobox > template > article (:308-330). Pure Catalyst: one
+    broadcast-sized join + a when-chain."""
+    from pyspark.sql import functions as F
+
+    links = sitelinks.filter(F.col("lang") == lang)
+    joined = links.join(items.select(F.col("id").alias("qid"), "types"), on="qid")
+
+    def overlap(type_set):
+        return F.arrays_overlap(
+            F.coalesce(F.col("types"), F.array()),
+            F.array(*[F.lit(t) for t in sorted(type_set)]),
+        )
+
+    kind = (
+        F.when(overlap(WIKIMEDIA_LIST), F.lit("list"))
+        .when(overlap(WIKIMEDIA_CATEGORY), F.lit("category"))
+        .when(overlap(WIKIMEDIA_DISAMBIGUATION), F.lit("disambiguation"))
+        .when(overlap(WIKIMEDIA_INFOBOX), F.lit("infobox"))
+        .when(overlap(WIKIMEDIA_TEMPLATE), F.lit("template"))
+        .otherwise(F.lit("article"))
+    )
+    return joined.select(
+        F.concat(F.lit(f"/wp/{lang}/"), F.col("title")).alias("wiki_id"),
+        "qid",
+        kind.alias("kind"),
+    )
+
+
+def is_multi_language(obj: dict, lang: str = "en") -> bool:
+    """WikidataMultiLanguage predicate (wikidata-importer.cc:495-517):
+    the item carries a name in SOME language but none in ``lang``."""
+    labels = _as_dict(obj.get("labels")) if isinstance(obj, dict) else {}
+    has_primary = isinstance(labels.get(lang), dict)
+    has_other = any(
+        isinstance(v, dict) and k != lang for k, v in labels.items()
+    )
+    return has_other and not has_primary
+
+
+def multi_language_items(dump, lang: str = "en", json_col: str = "value"):
+    """Filter the dump to multi-language items (non-``lang`` names only)
+    and parse them with the label-language fallback parse_item already
+    applies — the multi-language slot-filter stage."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf[json_col]:
+                try:
+                    obj = json.loads(line)
+                except (TypeError, ValueError):
+                    continue
+                if not is_multi_language(obj, lang):
+                    continue
+                parsed = parse_item(obj, lang)
+                if parsed:
+                    rows.append(parsed[0])
+            yield pd.DataFrame(rows, columns=["id", "name", "types", "statements"])
+
+    return dump.select(json_col).mapInPandas(parse, schema=ITEM_SCHEMA)

@@ -461,3 +461,47 @@ def test_alias_selector_thresholds(spark):
         for r in select_alias_rows(kb.alias_rows())
     }
     assert spark_sel == oracle_sel
+
+
+def test_xref_conflict_reporting(spark):
+    """Refused main+main merges surface as conflict rows from BOTH the
+    driver union-find and the distributed CC+repair path, on an
+    adversarial edge order (xref-builder.cc:238 conflict frames)."""
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.xref import build_clusters
+
+    seed = seed_dataframes(spark)
+    _cl, conf = build_clusters(seed["same_as"], return_conflicts=True)
+    driver = {tuple(r) for r in conf.collect()}
+    # the seed plants exactly one bad upstream link: pypi:torch claimed
+    # by both Q6 (TensorFlow) and Q7 (PyTorch)
+    assert len(driver) == 1
+    ((ma, mb, ea, eb),) = driver
+    assert (ma, mb) == ("Q6", "Q7")
+    assert "pypi:torch" in (ea, eb)
+
+    _cl2, conf2 = build_clusters(
+        seed["same_as"], driver_threshold=0, return_conflicts=True
+    )
+    assert {tuple(r) for r in conf2.collect()} == driver
+
+    # adversarial order: a chain that reaches the second main id LAST,
+    # plus extra edges whose order could flip the refusal point
+    rows = [
+        ("Q:Q1", "github:a", 0, 1, False),
+        ("github:a", "pypi:b", 1, 2, False),
+        ("pypi:b", "npm:c", 2, 5, False),
+        ("npm:c", "Q:Q2", 5, 0, False),   # closing edge must be refused
+        ("Q:Q2", "maven:d", 0, 3, False),
+        ("maven:d", "pypi:b", 3, 2, False),  # second path, also refused
+    ]
+    sa = spark.createDataFrame(
+        rows,
+        "id_a string, id_b string, priority_a int, priority_b int, redirect boolean",
+    )
+    cl_a, conf_a = build_clusters(sa, return_conflicts=True)
+    cl_b, conf_b = build_clusters(sa, driver_threshold=0, return_conflicts=True)
+    assert {tuple(r) for r in cl_a.collect()} == {tuple(r) for r in cl_b.collect()}
+    ca, cb = {tuple(r) for r in conf_a.collect()}, {tuple(r) for r in conf_b.collect()}
+    assert ca == cb and len(ca) >= 1
+    assert all(m[:2] == ("Q1", "Q2") for m in ca)

@@ -318,3 +318,74 @@ def test_wikidata_importer(spark, tmp_path):
     pids = {s["pid"] for m in merged for s in m["statements"]}
     assert "P2048" not in pids  # deprecated dropped
     assert {"P31", "P569", "P570"} <= pids
+
+
+def test_wikipedia_mapping_and_multilanguage(spark):
+    """pageid/title -> QID mapping with page-kind classification
+    (WikipediaMapping, wikidata-importer.cc:237-365) and the
+    multi-language slot filter (:495-517)."""
+    import json
+
+    from sling_spark.sources.wikidata import (
+        multi_language_items,
+        wikidata_items,
+        wikidata_sitelinks,
+        wikipedia_mapping,
+    )
+
+    def item(qid, labels, p31=None, sitelinks=None):
+        return json.dumps(
+            {
+                "id": qid,
+                "labels": {l: {"language": l, "value": v} for l, v in labels.items()},
+                "claims": {
+                    "P31": [
+                        {"mainsnak": {"datavalue": {"type": "wikibase-entityid",
+                                                    "value": {"id": t}}},
+                         "rank": "normal"}
+                        for t in (p31 or [])
+                    ]
+                } if p31 else {},
+                "sitelinks": {s: {"site": s, "title": t}
+                              for s, t in (sitelinks or {}).items()},
+            }
+        )
+
+    lines = [
+        item("Q42", {"en": "Douglas Adams", "de": "Douglas Adams"},
+             sitelinks={"enwiki": "Douglas Adams", "dewiki": "Douglas Adams",
+                        "enwikiquote": "Douglas Adams"}),
+        item("Q90", {"fr": "Paris"},  # multi-language: no English label
+             p31=["Q515"], sitelinks={"frwiki": "Paris"}),
+        item("Q8502343", {"en": "List of things"}, p31=["Q13406463"],
+             sitelinks={"enwiki": "List of things"}),
+        item("C1", {"en": "Category:Things"}, p31=["Q4167836"],
+             sitelinks={"enwiki": "Category:Things"}),
+        item("D1", {"en": "Mercury"}, p31=["Q4167410"],
+             sitelinks={"enwiki": "Mercury"}),
+    ]
+    dump = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    items, _aliases = wikidata_items(dump)
+    sl = wikidata_sitelinks(dump)
+
+    # sitelinks: wikiquote site skipped, languages preserved
+    got_sl = {(r["qid"], r["lang"], r["title"]) for r in sl.collect()}
+    assert ("Q42", "en", "Douglas Adams") in got_sl
+    assert ("Q42", "de", "Douglas Adams") in got_sl
+    assert not any(lang == "enwikiquote" for _q, lang, _t in got_sl)
+
+    mapping = {
+        r["wiki_id"]: (r["qid"], r["kind"])
+        for r in wikipedia_mapping(items, sl, lang="en").collect()
+    }
+    assert mapping["/wp/en/Douglas Adams"] == ("Q42", "article")
+    assert mapping["/wp/en/List of things"] == ("Q8502343", "list")
+    assert mapping["/wp/en/Category:Things"] == ("C1", "category")
+    assert mapping["/wp/en/Mercury"] == ("D1", "disambiguation")
+    assert "/wp/en/Paris" not in mapping  # French-only sitelink
+
+    # multi-language filter keeps ONLY Q90 (no English name, has French)
+    ml = multi_language_items(dump)
+    rows = ml.collect()
+    assert [r["id"] for r in rows] == ["Q90"]
+    assert rows[0]["name"] == "Paris"  # label-language fallback applied

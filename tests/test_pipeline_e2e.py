@@ -154,3 +154,19 @@ def test_resumability(spark, results, oracle):
 def test_prf_scoring():
     s = PRF.score({1, 2, 3, 4}, {2, 3, 4, 5})
     assert s.precision == 0.75 and s.recall == 0.75
+
+
+def test_synthetic_documents_equal_shuffled_path(spark):
+    """The zero-shuffle synthetic documents table is row-identical to
+    latest_with_sha(corpus_df(...)) — same last-writer-wins winners,
+    same sha256 (Python hashlib == Spark sha2)."""
+    from sling_spark.kg.documents import latest_with_sha
+    from sling_spark.sources.corpus import corpus_df, synthetic_documents
+
+    cols = ["repo", "path", "commit", "lang", "content_sha", "content"]
+    a = {tuple(r[c] for c in cols)
+         for r in synthetic_documents(spark, 120, partitions=4).collect()}
+    b = {tuple(r[c] for c in cols)
+         for r in latest_with_sha(corpus_df(spark, 120, partitions=4))
+         .select(*cols).collect()}
+    assert a == b and len(a) == 120
