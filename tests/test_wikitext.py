@@ -1,0 +1,132 @@
+"""Wikitext AST parsing + extraction (reference wiki-parser.cc scope)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sling_spark.sources.wikitext import (
+    extract_categories,
+    extract_headings,
+    extract_links,
+    extract_plain_text,
+    extract_templates,
+    parse_wikitext,
+)
+
+ARTICLE = """'''Apache Spark''' is an [[open-source software|open-source]] engine.<ref>c</ref>
+Started at [[University of California, Berkeley|Berkeley]].{{citation needed}}
+
+== History ==
+It began as a research project.<!-- hidden -->
+* [[Matei Zaharia]] created it
+
+{{Infobox software
+| name = Apache Spark
+| developer = [[Apache Software Foundation]]
+| released = {{Start date|2014|02|27}}
+}}
+
+{| class="wikitable"
+|-
+! Year !! Version
+|-
+| 2014 || 1.0
+|}
+
+[[File:Spark logo.svg|thumb|logo]]
+[[Category:Apache Software Foundation projects]]
+"""
+
+
+def test_links_and_categories():
+    nodes = parse_wikitext(ARTICLE)
+    links = extract_links(nodes, ARTICLE)
+    assert ("open-source software", "open-source") in links
+    assert ("University of California, Berkeley", "Berkeley") in links
+    assert ("Matei Zaharia", "Matei Zaharia") in links
+    # media and category links are NOT content links
+    assert not any(t.startswith("File:") for t, _a in links)
+    assert extract_categories(nodes) == ["Apache Software Foundation projects"]
+
+
+def test_templates_nested_and_args():
+    nodes = parse_wikitext(ARTICLE)
+    tpls = {t["name"]: t["args"] for t in extract_templates(nodes, ARTICLE)}
+    assert "citation needed" in tpls
+    info = tpls["Infobox software"]
+    assert info["name"] == "Apache Spark"
+    assert info["developer"] == "Apache Software Foundation"  # link -> anchor
+    # the nested template parses as its own node with positional args
+    assert tpls["Start date"] == {"1": "2014", "2": "02", "3": "27"}
+
+
+def test_plain_text_strips_markup():
+    plain = extract_plain_text(ARTICLE)
+    assert "Apache Spark is an open-source engine." in plain
+    assert "Berkeley" in plain
+    assert "History" in plain
+    assert "hidden" not in plain          # comment stripped
+    assert "<ref>" not in plain and "{{" not in plain and "[[" not in plain
+    assert "thumb" not in plain           # media dropped
+
+
+def test_headings():
+    assert extract_headings(parse_wikitext(ARTICLE)) == [(2, "History")]
+    assert extract_headings(parse_wikitext("=== Deep ===\nx\n")) == [(3, "Deep")]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="[]{}|=*#:;'<>!-ab \nrefmath", max_size=120))
+def test_parser_total_on_garbage(s):
+    nodes = parse_wikitext(s)
+    assert nodes[0].type == "document"
+    extract_plain_text(s, nodes)
+    extract_links(nodes, s)
+    extract_templates(nodes, s)
+
+
+def test_spark_parse_articles_and_anchor_aliases(spark):
+    """End-to-end: articles -> parsed structure -> anchor aliases joined
+    through the wikipedia_mapping dimension."""
+    import json
+
+    from sling_spark.sources.wikidata import (
+        wikidata_items,
+        wikidata_sitelinks,
+        wikipedia_mapping,
+    )
+    from sling_spark.sources.wikitext import parse_articles, wikipedia_alias_rows
+
+    art = spark.createDataFrame(
+        [
+            ("A", "See [[Apache Spark|Spark]] and [[Apache Spark]].\n"),
+            ("B", "Also [[Apache Spark|Spark]] here. [[Category:X]]\n"),
+        ],
+        "title string, wikitext string",
+    )
+    parsed = parse_articles(art).persist()
+    rows = {r["title"]: r for r in parsed.collect()}
+    assert [dict(l.asDict()) for l in rows["A"]["links"]] == [
+        {"target": "Apache Spark", "anchor": "Spark"},
+        {"target": "Apache Spark", "anchor": "Apache Spark"},
+    ]
+
+    dump = spark.createDataFrame(
+        [(json.dumps({
+            "id": "Q1",
+            "labels": {"en": {"language": "en", "value": "Apache Spark"}},
+            "claims": {},
+            "sitelinks": {"enwiki": {"site": "enwiki", "title": "Apache Spark"}},
+        }),)],
+        "value string",
+    )
+    items, _ = wikidata_items(dump)
+    mapping = wikipedia_mapping(items, wikidata_sitelinks(dump))
+    aliases = {
+        (r["entity"], r["alias"]): (r["count"], r["sources"])
+        for r in wikipedia_alias_rows(parsed, mapping).collect()
+    }
+    assert aliases[("Q1", "Spark")] == (2, 4)
+    assert aliases[("Q1", "Apache Spark")] == (1, 4)
+    parsed.unpersist()
