@@ -155,6 +155,90 @@ def _unit_of(word: str) -> str | None:
     return UNITS.get(word.lower())
 
 
+#: words skipped when matching abbreviation initials
+#: (AbbreviationAnnotator::Init, reference mentions.cc:1102-1110)
+ABBREV_SKIP = {"-", "&", "of", "for", "and", "the", "in",
+               "ltd", "inc", "corp", "llc", "gmbh"}
+
+
+def _scan_abbreviations(
+    words: list[str],
+    brks,
+    fps,
+    forms,
+    sb: int,
+    se: int,
+    phrase_table,
+    abbrev_map: dict[str, int],
+) -> list[tuple[int, int, int, int, str]]:
+    """AbbreviationAnnotator (reference mentions.cc:1115-1200) for one
+    sentence: find ``PHRASE ( ABBR )`` where ABBR is an all-caps token
+    (>= 2 letters) whose letters match the phrase's initials leftward —
+    skip-words skipped, embedded all-caps tokens matched as
+    sub-abbreviations. A match records ``abbrev word -> phrase
+    fingerprint`` in the DOCUMENT-level map, and (when the phrase
+    resolves in the phrase table) adds chart candidates for the phrase
+    span (it may exceed max_span) and every occurrence of the
+    abbreviation token from this sentence on — so later ``ABBR``
+    mentions resolve like the full phrase. Added candidates use
+    CASE_NONE (no case penalty), sentence-relative coordinates."""
+    extra: list[tuple[int, int, int, int, str]] = []
+    for b in range(sb, se - 3):
+        if words[b + 1] != "(" or words[b + 3] != ")":
+            continue
+        ab = words[b + 2]
+        if forms[b + 2] != 2:  # CASE_UPPER
+            continue
+        letters = [c for c in ab.upper() if c.isalpha()]
+        if len(letters) < 2:
+            continue
+        l = len(letters) - 1
+        i = b
+        while l >= 0 and i >= sb:
+            w = words[i]
+            if w and w[0].upper() == letters[l]:
+                l -= 1
+                i -= 1
+                continue
+            if w.lower() in ABBREV_SKIP:
+                i -= 1
+                continue
+            if forms[i] == 2:  # embedded sub-abbreviation (US Air Force)
+                sub = [c for c in w.upper() if c.isalpha()]
+                start = l + 1 - len(sub)
+                if start >= 0 and letters[start : l + 1] == sub:
+                    l -= len(sub)
+                    i -= 1
+                    continue
+            break
+        if l >= 0:
+            continue
+        pb, pe = i + 1, b + 1
+        pfp = 0
+        for k in range(pb, pe):
+            tfp = int(fps[k])
+            if tfp == FP_SKIPPED:
+                continue
+            pfp = tfp if pfp == 0 else _py_cat(pfp, tfp)
+        if pfp == 0:
+            continue
+        abbrev_map[ab] = pfp
+        if pfp in phrase_table:
+            extra.append((pb - sb, pe - sb, pfp, CASE_NONE, ""))
+    if abbrev_map:
+        for i in range(sb, se):
+            pfp = abbrev_map.get(words[i])
+            if pfp is not None and pfp in phrase_table:
+                extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
+    return extra
+
+
+def _py_cat(fp1: int, fp2: int) -> int:
+    from ..functions.fingerprint import fingerprint_cat
+
+    return fingerprint_cat(fp1, fp2)
+
+
 def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
     """Date / number / measure span candidates (the DateAnnotator /
     NumberAnnotator / MeasureAnnotator chart contributions, reference
@@ -453,6 +537,7 @@ def _annotate_from_candidates(
     mentioned: set[str] = set()
     mentions: list[dict] = []
     relations: list[dict] = []
+    abbrev_map: dict[str, int] = {}  # abbreviation word -> phrase fp (per doc)
 
     bounds = _sentence_bounds(brks)
     if cb.size:
@@ -471,14 +556,14 @@ def _annotate_from_candidates(
     for s_idx, (sb, se) in enumerate(bounds):
         n = se - sb
         lo, hi = cuts[s_idx], cuts[s_idx + 1]
-        if hi > lo:
-            sent_cands = [
-                (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k], clit[k])
-                for k in range(lo, hi)
-            ]
-            spans = _solve_cover(sent_cands, n)
-        else:
-            spans = []
+        sent_cands = [
+            (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k], clit[k])
+            for k in range(lo, hi)
+        ] if hi > lo else []
+        sent_cands += _scan_abbreviations(
+            words, brks, fps, forms, sb, se, phrase_table, abbrev_map
+        )
+        spans = _solve_cover(sent_cands, n) if sent_cands else []
 
         # ---- 4: resolve, left to right --------------------------------
         sent_mentions: list[tuple[int, int, str]] = []  # (begin_abs, end_abs, entity)

@@ -206,6 +206,64 @@ def build_phrase_table() -> dict[int, list[tuple]]:
     return dict(table)
 
 
+_ABBR_SKIP = {"-", "&", "of", "for", "and", "the", "in",
+              "ltd", "inc", "corp", "llc", "gmbh"}
+
+
+def _abbrev_scan(toks, sb, se, phrase_table, abbrev_map):
+    """Independent twin of the abbreviation annotator: PHRASE ( ABBR )
+    initials matching with skip-words and sub-abbreviations; records
+    the doc-level abbreviation map and returns extra chart candidates
+    (sentence-relative (end -> (b, fp, CASE_NONE, '')))."""
+    extra = []
+    for b in range(sb, se - 3):
+        if toks[b + 1].word != "(" or toks[b + 3].word != ")":
+            continue
+        ab = toks[b + 2].word
+        if toks[b + 2].form != 2:
+            continue
+        letters = [c for c in ab.upper() if c.isalpha()]
+        if len(letters) < 2:
+            continue
+        l, i = len(letters) - 1, b
+        while l >= 0 and i >= sb:
+            w = toks[i].word
+            if w and w[0].upper() == letters[l]:
+                l -= 1
+                i -= 1
+                continue
+            if w.lower() in _ABBR_SKIP:
+                i -= 1
+                continue
+            if toks[i].form == 2:
+                sub = [c for c in w.upper() if c.isalpha()]
+                start = l + 1 - len(sub)
+                if start >= 0 and letters[start : l + 1] == sub:
+                    l -= len(sub)
+                    i -= 1
+                    continue
+            break
+        if l >= 0:
+            continue
+        pb, pe = i + 1, b + 1
+        pfp = 0
+        for k in range(pb, pe):
+            if toks[k].fp == FP_SKIPPED:
+                continue
+            pfp = toks[k].fp if pfp == 0 else fingerprint_cat(pfp, toks[k].fp)
+        if pfp == 0:
+            continue
+        abbrev_map[ab] = pfp
+        if pfp in phrase_table:
+            extra.append((pe - sb, (pb - sb, pfp, CASE_NONE, "")))
+    if abbrev_map:
+        for i in range(sb, se):
+            pfp = abbrev_map.get(toks[i].word)
+            if pfp is not None and pfp in phrase_table:
+                extra.append((i - sb + 1, (i - sb, pfp, CASE_NONE, "")))
+    return extra
+
+
 def build_idf(docs: list[dict]) -> dict[int, float]:
     n = len(docs)
     df: dict[int, int] = defaultdict(int)
@@ -237,6 +295,7 @@ def annotate(
         context: dict[str, float] = {}
         seen: set[str] = set()
         doc_mentions: list[dict] = []  # anaphora never crosses documents
+        abbrev_map: dict[str, int] = {}
         for s_idx, (sb, se) in enumerate(sentences(toks)):
             n = se - sb
             # enumerate candidate spans
@@ -311,6 +370,9 @@ def annotate(
                     unit = kb.UNITS.get(tok(1).word.lower())
                     if unit is not None:
                         ends[b + 2].append((b, 0, CASE_NONE, f"{v}@{unit}"))
+            # abbreviation spans + doc-level abbreviation map
+            for e_rel, cand in _abbrev_scan(toks, sb, se, phrase_table, abbrev_map):
+                ends[e_rel].append(cand)
             # DP min-cost cover
             INF = float("inf")
             dp = [0.0] + [INF] * n

@@ -96,6 +96,9 @@ _NOISE = [
 _IDENTS = ["handler", "worker", "cursor", "buffer", "router", "codec",
            "planner", "scheduler", "broker", "registry", "sampler", "probe"]
 
+# abbreviation fixture: org with a multiword alias and no short alias
+_ABBREV_ORG = ("Q54", "Free Software Infrastructure Group", "FSIG")
+
 
 def _seed(repo: str, path: str, version: int) -> int:
     h = hashlib.blake2b(f"{repo}/{path}@{version}".encode(), digest_size=8).digest()
@@ -119,6 +122,9 @@ _REL_SUBJECTS = [qid for qid in sorted(_FACTS)
                  and qid in _ENTITY_ALIASES]
 _GENDER = kb.gender_lookup()
 _PERSONS = sorted(qid for qid in _GENDER if qid in _ENTITY_ALIASES)
+_ABBREV_PROJECTS = sorted(
+    qid for qid in _REL_SUBJECTS if ("P3", _ABBREV_ORG[0]) in _FACTS.get(qid, ())
+)
 
 
 def _pick_alias(rng: random.Random, qid: str) -> str:
@@ -219,6 +225,17 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
                     _PERSON_PRONOUN_TEMPLATES[_GENDER[p]].format(o=_pick_alias(rng, o))
                 )
             primed.append(p)
+        elif kind == 9 and rng.randrange(2) == 0:
+            # abbreviation definition + later USE of the abbreviation as
+            # a relation target (AbbreviationAnnotator exercise): the
+            # short form is NOT a KB alias — only the doc-level
+            # abbreviation map can resolve it
+            qid, alias, abbr = _ABBREV_ORG
+            comment(f"the {alias} ( {abbr} ) stewards several projects")
+            if _ABBREV_PROJECTS and rng.randrange(2) == 0:
+                p = rng.choice(_ABBREV_PROJECTS)
+                comment(f"{_pick_alias(rng, p)} is developed by {abbr}")
+            primed.append(qid)
         else:
             comment(rng.choice(_NOISE))
         # filler code line between comments

@@ -162,7 +162,7 @@ _E = [
      []),
     ("Q14", "Rust", ["language"],
      [("Rust", 280)],
-     [("P4", "Q61")],
+     [("P4", "Q61"), ("P3", "Q54")],
      [("github", "rust-lang/rust")]),
     ("Q15", "Scala", ["language"],
      [("Scala", 180)],
@@ -244,6 +244,12 @@ _E = [
      [("Google", 260)],
      [],
      [("github", "google")]),
+    # multiword-alias org with NO short alias: its abbreviation is only
+    # reachable through the AbbreviationAnnotator (mentions.cc:1115-1200)
+    ("Q54", "Free Software Infrastructure Group", ["organization"],
+     [("Free Software Infrastructure Group", 25)],
+     [],
+     []),
     ("Q52", "Meta", ["organization"],
      [("Meta", 90), ("Facebook", 110)],
      [],
