@@ -1218,6 +1218,35 @@ GROUP BY term
 """
 
 
+def q_kg_ntriples(spark, sf_dir):
+    """RDF (N-Triples) export of the seed KB statements — ids render as
+    IRIs, literals (dates) as quoted strings; pure column expressions
+    (frame/turtle serialization analog). Oracle: the same rendering in
+    ANSI SQL over the statements VALUES table."""
+    from .kg.materialize import triples_to_ntriples
+    from .sources import kb
+
+    rows = [
+        (item["id"], st["pid"], st["object"])
+        for item in kb.entities()
+        for st in item["statements"]
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    return triples_to_ntriples(df)
+
+
+def _sql_kg_ntriples() -> str:
+    return f"""
+SELECT '<http://example.org/kb/' || subj || '> <http://example.org/prop/' || pred
+       || '> ' ||
+       CASE WHEN regexp_matches(obj, '^(Q\\d+$|[a-z]+:)')
+            THEN '<http://example.org/kb/' || obj || '>'
+            ELSE '"' || obj || '"' END
+       || ' .' AS line
+FROM (VALUES {_seed_statement_values()}) AS t(subj, pred, obj)
+"""
+
+
 def q_doc_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs on the dup fixture, banded
     4 bands x 2 rows over the PORTABLE 8-perm minhash — the full LSH
@@ -1765,6 +1794,7 @@ def queries():
         "kg_item_fanin": q_kg_item_fanin,
         "kg_inverse_fanin": q_kg_inverse_fanin,
         "kg_search_index": q_kg_search_index,
+        "kg_ntriples": q_kg_ntriples,
         "kg_property_usage": q_kg_property_usage,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -1812,6 +1842,7 @@ def oracle_sql():
         "kg_item_fanin": _sql_item_fanin(),
         "kg_inverse_fanin": _sql_kg_inverse_fanin(),
         "kg_search_index": _sql_kg_search_index(),
+        "kg_ntriples": _sql_kg_ntriples(),
         "kg_property_usage": _sql_property_usage(),
         # kg_triples / kg_mentions: the annotator semantics are not
         # ANSI-SQL-expressible, so the independent pure-Python oracle

@@ -68,3 +68,47 @@ def counter_invariants(metrics: DataFrame) -> dict[str, int]:
         F.sum("n_relations").alias("relations"),
     ).collect()[0]
     return {k: int(row[k] or 0) for k in ("docs", "tokens", "mentions", "relations")}
+
+
+# ---------------------------------------------------------------------------
+# RDF serialization (frame reader/turtle analog — sling/frame/turtle.cc)
+# ---------------------------------------------------------------------------
+
+_NT_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def _nt_escape_col(c):
+    """N-Triples literal escaping as column expressions (JVM-side)."""
+    out = c
+    for raw, esc in _NT_ESCAPES.items():
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def triples_to_ntriples(
+    triples: DataFrame,
+    base_iri: str = "http://example.org/kb/",
+    pred_iri: str = "http://example.org/prop/",
+) -> DataFrame:
+    """Render (subj, pred, obj) rows as N-Triples lines — the engine's
+    analog of the reference's frame text/Turtle serialization
+    (sling/frame/turtle.cc, reader.cc; SURVEY scopes frame wire formats
+    out, but an RDF EXPORT is the interoperable shape a KB consumer
+    expects). Entity ids become IRIs under ``base_iri``; literal objects
+    (dates, numbers, measures, free text — anything not shaped like an
+    id) render as escaped string literals. Pure column expressions: the
+    export stays inside whole-stage codegen and writes with
+    ``df.write.text`` at any scale."""
+    is_ref = F.col("obj").rlike(r"^(Q\d+$|[a-z]+:)")
+    subj = F.concat(F.lit(f"<{base_iri}"), F.col("subj"), F.lit(">"))
+    pred = F.concat(F.lit(f"<{pred_iri}"), F.col("pred"), F.lit(">"))
+    obj = F.when(
+        is_ref, F.concat(F.lit(f"<{base_iri}"), F.col("obj"), F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), _nt_escape_col(F.col("obj")), F.lit('"')))
+    return triples.select(
+        F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, **iri_kwargs) -> None:
+    triples_to_ntriples(triples, **iri_kwargs).write.mode("overwrite").text(path)

@@ -206,3 +206,44 @@ def test_to_html_anchors():
 
     h = to_html(["Apache", "Spark", "&", "x"], [0, 1, 1, 3], [(0, 2, "Q1")])
     assert h == '<a ref="Q1">Apache Spark</a> &#38;<p>x'
+
+
+def test_subword_tokenizer():
+    """Greedy longest-prefix wordpiece (subword-tokenizer.cc:54-106):
+    whole-word fast path, leading/trailing (##) lexicons, punctuation
+    splitting, OOV contract (-1 + [UNK] when nothing matched)."""
+    from sling_spark.functions.subword import SubwordTokenizer
+
+    vocab = ["[UNK]", "spark", "py", "##spark", "##s", "##ing", "run",
+             "##n", ".", "un"]
+    t = SubwordTokenizer(vocab)
+    assert t.tokenize("spark") == (1, [vocab.index("spark")])
+    n, ids = t.tokenize("pyspark")
+    assert n == 2 and [vocab[i] for i in ids] == ["py", "##spark"]
+    n, ids = t.tokenize("sparks")
+    assert [vocab[i] for i in ids] == ["spark", "##s"]
+    n, ids = t.tokenize("running")
+    assert [vocab[i] for i in ids] == ["run", "##n", "##ing"]
+    # punctuation split: '.' matches as leading even mid-word
+    n, ids = t.tokenize("spark.py")
+    assert [vocab[i] for i in ids] == ["spark", ".", "py"]
+    # OOV: -1 with [UNK] when nothing matched at all
+    n, ids = t.tokenize("zzz")
+    assert n == -1 and ids == [0]
+    # partial match then OOV: -1, keeps matched prefix
+    n, ids = t.tokenize("sparkzzz")
+    assert n == -1 and [vocab[i] for i in ids] == ["spark"]
+    assert t.tokenized_word("pyspark") == "py##spark"
+
+
+def test_subword_counts_spark(spark):
+    from sling_spark.functions.subword import subword_counts
+
+    df = spark.createDataFrame(
+        [("a", "spark pyspark zzz"), ("b", "run running")],
+        "doc_id string, content string",
+    )
+    vocab = ["[UNK]", "spark", "py", "##spark", "run", "##n", "##ing"]
+    got = {r["doc_id"]: (r["n_subwords"], r["n_oov"])
+           for r in subword_counts(df, vocab).collect()}
+    assert got == {"a": (4, 1), "b": (4, 0)}

@@ -74,3 +74,33 @@ def test_name_table(spark):
     assert names == sorted(names)  # prefix-searchable ordering
     by_name = {r["name"]: r["entries"] for r in rows}
     assert any(e["entity"] == "Q1" for e in by_name["spark"])
+
+
+def test_ntriples_export(spark, tmp_path):
+    """RDF export renders ids as IRIs and literals as escaped strings,
+    JVM-side (no Python in the plan)."""
+    from sling_spark.kg.materialize import triples_to_ntriples, write_ntriples
+
+    df = spark.createDataFrame(
+        [
+            ("Q1", "P1", "Q2"),
+            ("Q1", "P6", "2014-02-27"),
+            ("github:a/b", "P4", 'say "hi"\nplease'),
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = sorted(r["line"] for r in triples_to_ntriples(df).collect())
+    assert (
+        "<http://example.org/kb/Q1> <http://example.org/prop/P1> "
+        "<http://example.org/kb/Q2> ." in lines
+    )
+    assert any('"2014-02-27"' in ln for ln in lines)
+    esc = [ln for ln in lines if "github:a/b" in ln][0]
+    assert '\\"hi\\"' in esc and "\\n" in esc and "\n" not in esc
+    # no Python stage in the plan
+    plan = triples_to_ntriples(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    out = tmp_path / "nt"
+    write_ntriples(df, str(out))
+    text = "".join(p.read_text() for p in out.glob("part-*"))
+    assert text.count(" .") == 3
