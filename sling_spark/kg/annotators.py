@@ -103,3 +103,95 @@ def run_chain(df: DataFrame, chain: list[tuple[str, dict]], **tables) -> DataFra
         fn = ANNOTATORS[name]
         out = fn(out, **kwargs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# span taxonomy (SpanTaxonomy, reference sling/nlp/silver/mentions.h:173-205)
+# ---------------------------------------------------------------------------
+
+#: span type flags (the SPAN_* flag analog, chart.h) — bits OR-able
+SPAN_PERSON = 1
+SPAN_ORG = 2
+SPAN_SOFTWARE = 4
+SPAN_FORMAT = 8
+SPAN_LICENSE = 16
+SPAN_CLASS = 32
+
+#: default taxonomy: KB type string → span flag (the type_flags_ map the
+#: reference loads from its taxonomy config)
+TYPE_FLAGS: dict[str, int] = {
+    "person": SPAN_PERSON,
+    "organization": SPAN_ORG,
+    "language": SPAN_SOFTWARE,
+    "framework": SPAN_SOFTWARE,
+    "library": SPAN_SOFTWARE,
+    "system": SPAN_SOFTWARE,
+    "package": SPAN_SOFTWARE,
+    "repository": SPAN_SOFTWARE,
+    "artifact": SPAN_SOFTWARE,
+    "format": SPAN_FORMAT,
+    "license": SPAN_LICENSE,
+    "class": SPAN_CLASS,
+}
+
+
+def entity_flags(
+    items: DataFrame, type_flags: dict[str, int] | None = None, depth: int = 2
+) -> DataFrame:
+    """Per-entity span-flag bitmask from the item's types plus types
+    inherited through up to ``depth`` hops of P279 — the taxonomy
+    classification SpanTaxonomy::Classify performs per candidate item
+    (mentions.cc:330-400). Dimension-sized: two broadcast self-joins +
+    one hash agg."""
+    type_flags = type_flags or TYPE_FLAGS
+    base = items.select("id", F.explode("types").alias("t"))
+    p279 = (
+        items.select("id", F.explode("statements").alias("st"))
+        .filter(F.col("st.pid") == "P279")
+        .select("id", F.col("st.object").alias("parent"))
+    )
+    all_types = base
+    reach = p279
+    for _ in range(depth):
+        inherited = reach.join(
+            F.broadcast(base.withColumnRenamed("id", "parent")), on="parent"
+        ).select("id", "t")
+        all_types = all_types.unionByName(inherited)
+        reach = (
+            reach.join(
+                F.broadcast(
+                    p279.withColumnRenamed("id", "mid").withColumnRenamed(
+                        "parent", "gp"
+                    )
+                ),
+                reach["parent"] == F.col("mid"),
+            )
+            .select("id", F.col("gp").alias("parent"))
+        )
+    flag = F.lit(0)
+    for t, fl in sorted(type_flags.items()):
+        flag = F.when(F.col("t") == t, F.lit(fl)).otherwise(flag)
+    return (
+        all_types.withColumn("flag", flag)
+        .groupBy("id")
+        .agg(F.expr("bit_or(flag)").cast("int").alias("flags"))
+    )
+
+
+@register("span-taxonomy")
+def span_taxonomy(
+    mentions: DataFrame, items: DataFrame, type_flags: dict[str, int] | None = None
+) -> DataFrame:
+    """Annotate resolved mentions with type-based span flags (the
+    SpanTaxonomy chart flags, adapted post-resolution: our chart prunes
+    lowercase spam via IDF, so the flags here serve downstream filtering
+    and typed exports rather than cover-time pruning). Literal and
+    unknown-entity mentions get flags = 0. Broadcast join on the
+    dimension-sized flag table."""
+    ef = entity_flags(items, type_flags)
+    return (
+        mentions.join(
+            F.broadcast(ef.withColumnRenamed("id", "entity")), on="entity", how="left"
+        )
+        .withColumn("flags", F.coalesce("flags", F.lit(0)))
+    )
