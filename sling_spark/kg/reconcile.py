@@ -210,19 +210,18 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         ["source_priority", "orig_id", "pos"], kind="mergesort"
     )
     merged: list[dict] = []  # each {pid, object, qualifiers}
+    # O(1) duplicate lookup — a mega-item (10^4 statements) would make
+    # the old per-statement linear scan a quadratic single task
+    by_key: dict[tuple[str, str], dict] = {}
+    dates_by_pid: dict[str, list[dict]] = {}
 
     def find_same(pid: str, obj: str) -> dict | None:
-        for m in merged:
-            if m["pid"] == pid and m["object"] == obj:
-                return m
-        return None
+        return by_key.get((pid, obj))
 
     def find_date_twin(pid: str, obj: str) -> dict | None:
         if not _DATE_RE.match(obj or ""):
             return None
-        for m in merged:
-            if m["pid"] != pid or not _DATE_RE.match(m["object"] or ""):
-                continue
+        for m in dates_by_pid.get(pid, ()):
             a, b = m["object"], obj
             if a.startswith(b) or b.startswith(a):
                 return m
@@ -243,9 +242,15 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if twin is not None:
             # keep the most precise date (longest string)
             if len(obj) > len(twin["object"]):
+                del by_key[(r.pid, twin["object"])]
                 twin["object"] = obj
+                by_key[(r.pid, obj)] = twin
             continue
-        merged.append({"pid": r.pid, "object": obj, "qualifiers": quals})
+        st = {"pid": r.pid, "object": obj, "qualifiers": quals}
+        merged.append(st)
+        by_key[(r.pid, obj)] = st
+        if _DATE_RE.match(obj or ""):
+            dates_by_pid.setdefault(r.pid, []).append(st)
 
     return pd.DataFrame(
         [
