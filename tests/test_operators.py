@@ -389,3 +389,85 @@ def test_wikipedia_mapping_and_multilanguage(spark):
     rows = ml.collect()
     assert [r["id"] for r in rows] == ["Q90"]
     assert rows[0]["name"] == "Paris"  # label-language fallback applied
+
+
+def test_text_and_text_map_readers(spark, tmp_path):
+    """text / text-map (TSV) readers (record-file reader analogs)."""
+    from sling_spark.sources.readers import read_text, read_text_map
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    assert [r["line"] for r in read_text(spark, str(p)).collect()] == [
+        "alpha", "beta", "gamma",
+    ]
+    m = tmp_path / "map.tsv"
+    m.write_text("Q1\tApache Spark\nQ2\tHadoop\n")
+    got = {r["key"]: r["value"] for r in read_text_map(spark, str(m)).collect()}
+    assert got == {"Q1": "Apache Spark", "Q2": "Hadoop"}
+
+
+def test_external_corpus_table_end_to_end(spark, tmp_path):
+    """The external-table ingest path (corpus_from_table -> run_pipeline)
+    produces EXACTLY the triples of the synthetic path on the same data —
+    the spark-submit deployment shape, schema-validated."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.pipeline import run_pipeline
+    from sling_spark.sources.corpus import corpus_df
+    from sling_spark.sources.readers import corpus_from_table
+
+    path = str(tmp_path / "corpus")
+    corpus_df(spark, 40, partitions=4).write.parquet(path)
+    external = corpus_from_table(spark.read.parquet(path)).drop("content_sha")
+    res_ext = run_pipeline(spark, corpus=external)
+    res_syn = run_pipeline(spark, n_files=40)
+    cols = ["subj", "pred", "obj", "source"]
+    a = {tuple(r[c] for c in cols) for r in res_ext["triples"].collect()}
+    b = {tuple(r[c] for c in cols) for r in res_syn["triples"].collect()}
+    assert a == b and len(a) > 100
+
+    # schema validation rejects a table missing the contract columns
+    bad = spark.createDataFrame([("x",)], "repo string")
+    with _pytest.raises(Exception):
+        corpus_from_table(bad)
+
+    # lineage: provenance sha matches sha256 over the external table
+    prov = (
+        res_ext["triples"].filter(F.col("source") == "doc_relation")
+        .select(
+            F.col("provenance.repo").alias("repo"),
+            F.col("provenance.path").alias("path"),
+            F.col("provenance.commit").alias("commit"),
+            F.col("provenance.content_sha").alias("content_sha"),
+        ).distinct()
+    )
+    src = spark.read.parquet(path).select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("expect")
+    )
+    bad_rows = prov.join(src, ["repo", "path", "commit"], "left").filter(
+        (F.col("expect").isNull()) | (F.col("expect") != F.col("content_sha"))
+    ).count()
+    assert bad_rows == 0
+
+
+def test_inverted_index_and_rekey_and_clear_refs(spark):
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.aggregates import inverted_index
+    from sling_spark.kg.annotators import clear_references
+    from sling_spark.operators.partition import rekey
+
+    m = spark.createDataFrame(
+        [("Q1", "r", "a"), ("Q1", "r", "b"), ("Q1", "r", "a"), ("Q2", "r", "a")],
+        "entity string, repo string, path string",
+    )
+    got = {r["entity"]: r["postings"] for r in inverted_index(m).collect()}
+    assert got == {"Q1": ["r/a", "r/b"], "Q2": ["r/a"]}
+
+    rk = rekey(m.withColumn("key", F.lit("x")), F.concat_ws("|", "entity", "path"))
+    assert {r["key"] for r in rk.collect()} == {"Q1|a", "Q1|b", "Q2|a"}
+
+    cc = clear_references(m.withColumn("__aux", F.lit(1)))
+    assert "__aux" not in cc.columns and set(cc.columns) == set(m.columns)
