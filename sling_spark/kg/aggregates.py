@@ -97,14 +97,13 @@ def search_index(aliases: DataFrame, items: DataFrame) -> DataFrame:
         .filter(F.col("st.object").rlike(r"^\d{4}(-\d{2})?(-\d{2})?$"))
         .select("entity", F.substring(F.col("st.object"), 1, 4).alias("term"))
     )
-    terms = (
-        alias_terms.unionByName(year_terms)
-        .filter(F.length("term") > 0)
-        .distinct()
-    )
+    terms = alias_terms.unionByName(year_terms).filter(F.length("term") > 0)
+    # collect_set dedups (entity, term) pairs itself — no separate
+    # distinct shuffle; ONE exchange keyed by term
+    postings = F.array_sort(F.collect_set("entity"))
     return terms.groupBy("term").agg(
-        F.count("*").cast("long").alias("n_items"),
-        F.concat_ws(",", F.array_sort(F.collect_set("entity"))).alias("postings"),
+        F.size(postings).cast("long").alias("n_items"),
+        F.concat_ws(",", postings).alias("postings"),
     )
 
 

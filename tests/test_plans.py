@@ -122,3 +122,42 @@ def test_scale_critical_session_confs(spark):
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
     assert int(conf.get("spark.sql.shuffle.partitions")) >= 4
+
+
+def test_new_operator_plan_shapes(spark):
+    """Round-2 operators keep the scale-critical plan shapes: the
+    inverse-statement build broadcast-joins the inversion config; the
+    search index is one partial-agg hash aggregation keyed by term; the
+    N-Triples export has no Python node; the zero-shuffle synthetic
+    documents path contains no Exchange."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.aggregates import search_index
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.materialize import triples_to_ntriples
+    from sling_spark.kg.reconcile import invert_statements
+    from sling_spark.sources.corpus import synthetic_documents
+
+    seed = seed_dataframes(spark)
+    items = seed["items"].withColumn("source_priority", F.lit(0))
+
+    inv_plan = formatted_plan(invert_statements(items))
+    assert "BroadcastHashJoin" in inv_plan  # inversion config is broadcast
+    assert "SortMergeJoin" not in inv_plan
+
+    si_plan = formatted_plan(search_index(seed["aliases"], seed["items"]))
+    assert "Aggregate" in si_plan
+    # ONE shuffle, keyed by term (each node appears twice in formatted
+    # output: tree line '+- Exchange (n)' + detail '(n) Exchange')
+    assert si_plan.count("- Exchange") <= 1
+
+    nt = triples_to_ntriples(
+        spark.createDataFrame([("Q1", "P1", "Q2")], "subj string, pred string, obj string")
+    )
+    nt_plan = formatted_plan(nt)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in nt_plan
+
+    docs_plan = formatted_plan(synthetic_documents(spark, 100, partitions=2))
+    assert "Exchange" not in docs_plan  # zero-shuffle documents
+    assert "MapInPandas" in docs_plan  # generation is the one Python pass

@@ -52,3 +52,42 @@ def test_salted_aggregation_matches_unsalted(spark):
 def test_aqe_skew_configs_active(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_stop_shingle_cap_defuses_hot_shingle(spark):
+    """A shingle planted in 50% of documents (license-header analog)
+    would make the no-candidates jaccard self-join quadratic; the
+    stop-shingle frequency cap drops it from the whole computation while
+    real near-dup pairs survive."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.operators.dedup import jaccard_pairs
+
+    n = 400
+    rows = []
+    for i in range(n):
+        sh = [f"u{i} v{i} w{i}", f"x{i} y{i} z{i}"]  # unique shingles
+        if i % 2 == 0:
+            sh.append("license header line")  # hot: 50% of docs
+        if i < 6:
+            sh.append("shared rare shingle")  # a real overlap group
+            sh.append("second shared shingle")
+        rows.extend((f"d{i}", s) for s in sh)
+    sh_df = spark.createDataFrame(rows, "doc_id string, shingle string")
+
+    out = jaccard_pairs(sh_df, min_jaccard=0.3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["inter"] for r in out.collect()}
+    # the hot shingle is excluded: even-doc pairs share NOTHING else, so
+    # none of the ~20k even-even pairs appear
+    assert all(int(a[1:]) < 6 and int(b[1:]) < 6 for a, b in pairs)
+    # the rare-overlap group survives with both shared shingles counted
+    assert pairs[("d0", "d1")] == 2
+    # without the cap the ~20k hot pairs WOULD materialize (sanity that
+    # the cap, not the jaccard threshold, did the work)
+    capped_all = jaccard_pairs(sh_df, min_jaccard=0.01)
+    assert capped_all.count() == len(pairs)
+    uncapped = jaccard_pairs(sh_df, min_jaccard=0.01, stop_df_frac=None)
+    assert uncapped.count() > 10_000
+    # the capped plan carries the broadcast anti-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
