@@ -99,3 +99,59 @@ def test_upsert_and_cdc(spark):
     after = apply_cdc(merged, changes, ["subj", "pred"])
     got = {(r["subj"], r["obj"]) for r in after.collect()}
     assert got == {("Q1", "Apache Spark"), ("Q3", "NumPy"), ("Q4", "pandas")}
+
+
+def test_streaming_with_asset_store(spark, tmp_path):
+    """Structured Streaming annotation with the Parquet-backed
+    AssetStore (no driver collect): the streamed triples equal the
+    broadcast-mode batch result — store mode composes with streaming."""
+    import pyspark.sql as psql
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.assets import build_asset_store, build_assets, seed_dataframes
+    from sling_spark.kg.documents import doc_stats, latest_with_sha
+    from sling_spark.kg.mentions import annotate, relations_of
+    from sling_spark.sources.corpus import corpus_df
+    from sling_spark.streaming.kg_stream import (
+        annotate_stream,
+        read_corpus_stream,
+        run_to_parquet,
+        stream_triples,
+    )
+
+    docs = latest_with_sha(corpus_df(spark, 30, partitions=4)).persist()
+    stats = doc_stats(docs).persist()
+    stats.count()
+    seed = seed_dataframes(spark)
+
+    orig_collect = psql.DataFrame.collect
+
+    def no_collect(self, *a, **k):
+        raise AssertionError("store mode must not collect")
+
+    psql.DataFrame.collect = no_collect
+    try:
+        store_bc, _ = build_asset_store(spark, stats, str(tmp_path / "assets"), seed)
+    finally:
+        psql.DataFrame.collect = orig_collect
+
+    src = str(tmp_path / "src")
+    docs.drop("content_sha").write.parquet(src)
+    run_to_parquet(
+        stream_triples(annotate_stream(read_corpus_stream(spark, src), store_bc)),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    streamed = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    batch_bc, _ = build_assets(spark, stats, seed)
+    batch = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in relations_of(annotate(docs, batch_bc))
+        .select(F.col("subj"), "pred", "obj").collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    docs.unpersist()
+    stats.unpersist()
