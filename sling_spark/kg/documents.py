@@ -18,9 +18,13 @@ per doc instead of ~300 structs.
 
 Scale notes
 -----------
-- Latest-commit selection is ONE shuffle by (repo, path) — unavoidable
-  (a group-wide argmax); expressed as max_by so Catalyst plans a partial
-  aggregation (map-side combine), not a window sort.
+- Latest-commit selection is ONE shuffle by (repo, path) — a group-wide
+  argmax expressed as max_by so Catalyst plans a partial aggregation
+  (map-side combine), not a window sort. For the SYNTHETIC corpus the
+  pipeline skips even that: the winner per file is deterministic, so
+  corpus.synthetic_documents generates latest-only rows with zero
+  content shuffle (the 100 TB analog of deduplicating on keys and
+  re-reading payloads from the table; parity pytest-enforced).
 - Tokenization is an Arrow-batched mapInPandas; content is dropped after
   tokenizing (rows stay narrow; the sha256 lineage column preserves the
   per-row invariant from BASELINE.json).

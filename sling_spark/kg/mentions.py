@@ -23,11 +23,20 @@ resolver.cc, sling/nlp/silver/relations.cc), per sentence unit:
 The reference runs these as ONE annotator chain per document
 (silver.py:105-169); we do the same: ONE Arrow-batched mapInPandas pass
 emits mention rows and relation rows together (a `kind` column splits
-them), with the phrase table / IDF / links / popularity / facts
-broadcast — the analog of SLING memory-mapping its repository files per
-worker (sling/file/repository.h:30-60). No shuffle anywhere in the
-annotation path; order-dependent logic stays inside the per-document
-call (SURVEY.md §4 risk #4).
+them), with the phrase table / IDF / links / popularity / facts either
+broadcast or loaded worker-side from a Parquet asset store
+(assets.AssetStore) — both analogs of SLING memory-mapping its
+repository files per worker (sling/file/repository.h:30-60). No shuffle
+anywhere in the annotation path.
+
+Execution split (round-2 vectorization): candidate-span ENUMERATION
+(SpanPopulator + pruners + the literal date/number/measure annotators)
+runs as NumPy array ops over the concatenated tokens of a whole Arrow
+batch; the DP cover is a compressed solve over candidate ends only; the
+ORDER-DEPENDENT stages (resolver context evolution, anaphora,
+abbreviation map, relation constraints) stay scalar inside the
+per-document call (SURVEY.md §4 risk #4), where they touch candidates
+and mentions, never raw tokens.
 """
 
 from __future__ import annotations

@@ -8,7 +8,12 @@ Stage DAG (SURVEY.md §7):
                    runs on a second job-submitter thread, overlapping   │
                    the corpus stages)                                    │
     seed same_as ─ xref clusters ──┬─ canonicalized triples ─────────────┤
-    seed items + fragments ─ reconcile/merge ─ kb_items ─ kb_triples ────┴─ triples
+    seed items + fragments ─ (+ inverse-property fragments)              │
+                  ─ reconcile/merge ─ kb_items ─ kb_triples ─────────────┴─ triples
+
+(Synthetic, checkpoint-less runs replace the corpus→documents pair with
+the zero-shuffle `synthetic_documents` generator; asset consumption is
+either broadcast dicts or the Parquet-backed AssetStore.)
 
 Checkpointing (north rule "resumable from per-partition checkpoint"):
 every materialized stage is written to ``<dir>/<stage>`` as Parquet; a
