@@ -321,3 +321,43 @@ def multi_language_items(dump, lang: str = "en", json_col: str = "value"):
             yield pd.DataFrame(rows, columns=["id", "name", "types", "statements"])
 
     return dump.select(json_col).mapInPandas(parse, schema=ITEM_SCHEMA)
+
+
+def engine_alias_rows(alias_rows, default_count: int = 1):
+    """Adapt importer alias rows (entity, alias, lang, is_label) to the
+    engine's alias table shape (entity, alias, fp, count, form,
+    sources): phrase fingerprint/form computed under the engine
+    tokenizer (the phrase-table lookup invariant), labels as NAME
+    source, aliases as ALIAS source. Counts default to 1 — corpus-
+    derived anchor counts (anchor_aliases / wikipedia_alias_rows)
+    sharpen the prior exactly as the reference's anchor counts do."""
+    import pandas as pd
+
+    def conv(batches):
+        from ..functions.tokenize import phrase_fingerprint, phrase_form
+        from ..sources.kb import SRC_ALIAS, SRC_NAME
+
+        for pdf in batches:
+            rows = []
+            for entity, alias, is_label in zip(
+                pdf["entity"], pdf["alias"], pdf["is_label"]
+            ):
+                rows.append(
+                    {
+                        "entity": entity,
+                        "alias": alias,
+                        "fp": phrase_fingerprint(alias),
+                        "count": default_count,
+                        "form": phrase_form(alias),
+                        "sources": SRC_NAME if is_label else SRC_ALIAS,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["entity", "alias", "fp", "count", "form", "sources"],
+            )
+
+    return alias_rows.select("entity", "alias", "is_label").mapInPandas(
+        conv,
+        schema="entity string, alias string, fp long, count int, form int, sources int",
+    )

@@ -170,3 +170,80 @@ def test_synthetic_documents_equal_shuffled_path(spark):
          for r in latest_with_sha(corpus_df(spark, 120, partitions=4))
          .select(*cols).collect()}
     assert a == b and len(a) == 120
+
+
+def test_pipeline_with_wikidata_imported_kb(spark, tmp_path):
+    """The full wikiflow shape end-to-end with a KB that comes from a
+    wikibase dump instead of the seed fixtures: dump -> importer ->
+    engine alias adaptation -> assets -> annotate -> triples. Mentions
+    resolve to the IMPORTED QIDs and distant supervision extracts the
+    imported facts."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.pipeline import run_pipeline
+    from sling_spark.sources.wikidata import engine_alias_rows, wikidata_items
+
+    def entity(qid, label, aliases=(), claims=()):
+        return json.dumps(
+            {
+                "id": qid,
+                "labels": {"en": {"language": "en", "value": label}},
+                "aliases": {"en": [{"language": "en", "value": a} for a in aliases]},
+                "claims": {
+                    pid: [{"mainsnak": {"datavalue": {
+                        "type": "wikibase-entityid",
+                        "value": {"id": obj}}}, "rank": "normal"}]
+                    for pid, obj in claims
+                },
+            }
+        )
+
+    dump = spark.createDataFrame(
+        [
+            (entity("Q900", "Frobnicator", ["frob engine"], [("P1", "Q901")]),),
+            (entity("Q901", "Quuxlib", ["quux"]),),
+        ],
+        "value string",
+    )
+    items, raw_aliases = wikidata_items(dump)
+    empty_same_as = spark.createDataFrame(
+        [],
+        "id_a string, id_b string, priority_a int, priority_b int, redirect boolean",
+    )
+    empty_fragments = spark.createDataFrame(
+        [], items.schema.add("source_priority", "integer")
+    )
+    seed = {
+        "items": items,
+        "aliases": engine_alias_rows(raw_aliases),
+        "same_as": empty_same_as,
+        "links": spark.createDataFrame([], "src string, dst string, count int"),
+        "popularity": spark.createDataFrame([], "id string, count int"),
+        "fragments": empty_fragments,
+    }
+    corpus = spark.createDataFrame(
+        [
+            ("r", "a.py", "c1", "python",
+             "# the Frobnicator depends on Quuxlib for the core runtime\n"
+             "# we use quux for parsing\n"),
+            ("r", "b.py", "c2", "python",
+             "# frob engine integration helpers live here\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    res = run_pipeline(spark, corpus=corpus, seed=seed)
+    ents = {r["entity"] for r in res["mentions"].collect()}
+    assert {"Q900", "Q901"} <= ents
+    triples = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in res["triples"].filter(F.col("source") == "doc_relation").collect()
+    }
+    assert ("Q900", "P1", "Q901") in triples  # imported fact extracted
+    kb_t = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in res["triples"].filter(F.col("source") == "kb_statement").collect()
+    }
+    assert ("Q900", "P1", "Q901") in kb_t
+    assert ("Q901", "P101", "Q900") in kb_t  # inverse-property emitted
