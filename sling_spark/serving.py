@@ -126,3 +126,28 @@ def render_document(
     return joined.mapInPandas(
         render_html, schema="repo string, path string, commit string, html string"
     )
+
+
+def term_search(spark: SparkSession, query: str, limit: int = 10) -> DataFrame:
+    """Full-text item search over the search index (the knowledge-service
+    query endpoint analog, reference sling/nlp/search/search.cc): AND
+    across the query's terms — intersect each term's posting list,
+    ranked by how few items share the rarest term (specificity). Expects
+    a ``search_index`` view (term, n_items, postings)."""
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        return spark.sql("SELECT NULL AS entity WHERE FALSE")
+    marks = ", ".join("?" for _ in terms)
+    return spark.sql(
+        f"""
+        WITH hits AS (
+          SELECT explode(split(postings, ',')) AS entity, n_items
+          FROM search_index WHERE term IN ({marks})
+        )
+        SELECT entity, count(*) AS matched, min(n_items) AS rarest
+        FROM hits GROUP BY entity
+        HAVING matched = {len(terms)}
+        ORDER BY rarest ASC, entity LIMIT {int(limit)}
+        """,
+        args=terms,
+    )

@@ -265,3 +265,20 @@ def test_warc_roundtrip_arbitrary_payloads(recs):
     assert len(got) == len(recs)
     for (h, payload), (_uri, body) in zip(got, recs):
         assert payload == body
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab A9_ .\t()#=\n-", max_size=120))
+def test_tokenize_arrays_matches_tokenize(content):
+    """The array-layout tokenizer is field-identical to the Token-object
+    tokenizer on arbitrary text (shared regex + break rule)."""
+    from sling_spark.functions.tokenize import tokenize, tokenize_arrays
+
+    toks = tokenize(content)
+    ta = tokenize_arrays(content)
+    assert ta.words == [t.word for t in toks]
+    assert ta.begins.tolist() == [t.begin for t in toks]
+    assert ta.ends.tolist() == [t.end for t in toks]
+    assert ta.brks.tolist() == [t.brk for t in toks]
+    assert ta.fps.tolist() == [t.fp for t in toks]
+    assert ta.forms.tolist() == [t.form for t in toks]

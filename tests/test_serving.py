@@ -55,3 +55,19 @@ def test_render_document_lex_and_html(spark):
         spark, target["repo"], target["path"], format="html"
     ).first()
     assert '<a ref="Q' in html["html"] and "</a>" in html["html"]
+
+
+def test_term_search(spark):
+    from sling_spark.kg.aggregates import search_index
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.serving import register_views, term_search
+
+    seed = seed_dataframes(spark)
+    register_views(spark, {"search_index": search_index(seed["aliases"], seed["items"])})
+    # multi-term AND: both terms must hit; Apache Spark ranks by rarity
+    got = [r["entity"] for r in term_search(spark, "apache spark").collect()]
+    assert got and got[0] == "Q1"
+    # year term from a date statement finds the released item
+    years = {r["entity"] for r in term_search(spark, "2014").collect()}
+    assert "Q1" in years
+    assert term_search(spark, "").count() == 0
