@@ -144,3 +144,35 @@ def number_expr(col, format: str = "IMPERIAL"):
 
     (t1, d1, _), (t2, d2, _) = FORMATS[format]
     return F.coalesce(one(t1, d1), one(t2, d2))
+
+
+#: spelled-number values (SpelledNumberAnnotator analog — the reference
+#: resolves numerals via phrase-table items carrying P1181 numeric
+#: values, mentions.h:283-296; our code KB has no numeral items, so the
+#: English inventory is this fixed table)
+SPELLED: dict[str, int] = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+    "eleven": 11, "twelve": 12, "thirteen": 13, "fourteen": 14,
+    "fifteen": 15, "sixteen": 16, "seventeen": 17, "eighteen": 18,
+    "nineteen": 19, "twenty": 20, "thirty": 30, "forty": 40,
+    "fifty": 50, "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+}
+
+#: scale words (NumberScaleAnnotator, mentions.h:298-316)
+SCALES: dict[str, int] = {
+    "hundred": 100,
+    "thousand": 1_000,
+    "million": 1_000_000,
+    "billion": 1_000_000_000,
+    "trillion": 1_000_000_000_000,
+}
+
+
+def scale_value(num: int | float, scale: int) -> str:
+    """Canonical value string of ``num × scale`` (the scaled-number
+    composition): integral results render as integers."""
+    v = num * scale
+    if isinstance(num, int):
+        return str(v)
+    return str(int(v)) if float(v).is_integer() and abs(v) < 2**63 else str(v)

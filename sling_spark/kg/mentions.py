@@ -137,11 +137,12 @@ _NUM_TOK_RE = None  # lazily compiled (avoid import-order cost)
 @lru_cache(maxsize=1 << 18)
 def _lit_word(word: str):
     """Literal classification of one token (cached per unique word):
-    None for non-numeric words, else (value_str, is_year, is_y4).
+    None for non-numeric words, else (value_str, is_year, is_y4, num).
     value_str is the PARSED number rendered (NumberAnnotator annotates
     the numeric value, not the surface); is_year is the reference's
     '4 digits in 1582..2038' rule (mentions.cc:570-585) that flips a
-    number span to a date span."""
+    number span to a date span; num is the parsed value for scale
+    composition."""
     global _NUM_TOK_RE
     if _NUM_TOK_RE is None:
         import re
@@ -154,7 +155,21 @@ def _lit_word(word: str):
     v = parse_number_format(word)
     if v is None:
         return None
-    return (str(v), is_year(word), len(word) == 4 and word.isdigit())
+    return (str(v), is_year(word), len(word) == 4 and word.isdigit(), v)
+
+
+@lru_cache(maxsize=1 << 18)
+def _spelled_of(word: str):
+    from ..functions.numbers import SPELLED
+
+    return SPELLED.get(word.lower())
+
+
+@lru_cache(maxsize=1 << 18)
+def _scale_of(word: str):
+    from ..functions.numbers import SCALES
+
+    return SCALES.get(word.lower())
 
 
 @lru_cache(maxsize=1 << 18)
@@ -257,6 +272,9 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
       zero gap — month 1..12, day 1..31); only the maximal form per start
     - bare years (4 digits in 1582..2038 → date span, value = surface)
     - numbers: a numeric token annotated with its PARSED value
+    - SPELLED numbers ('three' → 3) and SCALED numbers ('3 million',
+      'two hundred' → composed value — the SpelledNumber/NumberScale
+      annotators, mentions.h:283-316, over a fixed English inventory)
     - measures: number followed (same line: break ≤ SPACE) by a unit
       alias → ``<value>@<unit-id>``
 
@@ -268,8 +286,19 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
     for i in range(n):
         lit = _lit_word(words[i])
         if lit is None:
+            sv = _spelled_of(words[i])
+            if sv is None:
+                continue
+            # spelled number span; may compose with a following scale
+            out.append((i, i + 1, str(sv)))
+            if i + 1 < n and brks[i + 1] <= 1:
+                sc = _scale_of(words[i + 1])
+                if sc is not None:
+                    from ..functions.numbers import scale_value
+
+                    out.append((i, i + 2, scale_value(sv, sc)))
             continue
-        value, year, y4 = lit
+        value, year, y4, num = lit
         # ISO date run (maximal)
         if (
             y4
@@ -295,11 +324,17 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
                 out.append((i, i + 3, f"{words[i]}-{words[i + 2]}"))
         # bare year (date) or plain number
         out.append((i, i + 1, words[i] if year else value))
-        # measure: number + unit alias on the same line
         if i + 1 < n and brks[i + 1] <= 1:
+            # measure: number + unit alias on the same line
             unit = _unit_of(words[i + 1])
             if unit is not None:
                 out.append((i, i + 2, f"{value}@{unit}"))
+            # scaled number: number + scale word ('3 million')
+            sc = _scale_of(words[i + 1])
+            if sc is not None:
+                from ..functions.numbers import scale_value
+
+                out.append((i, i + 2, scale_value(num, sc)))
     return out
 
 

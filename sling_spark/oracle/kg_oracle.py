@@ -22,7 +22,13 @@ from collections import defaultdict
 
 from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
 from ..functions.normalize import CASE_NONE, normalize_phrase
-from ..functions.numbers import is_year, parse_number_format
+from ..functions.numbers import (
+    SCALES,
+    SPELLED,
+    is_year,
+    parse_number_format,
+    scale_value,
+)
 from ..functions.tokenize import sentences, tokenize
 from ..kg.mentions import (
     ANAPHORA_WINDOW,
@@ -328,10 +334,20 @@ def annotate(
                     else:
                         form = CASE_NONE
                     ends[b + l].append((b, fp, form, ""))
-            # literal spans: dates / numbers / measures (mentions.h:256-391)
+            # literal spans: dates / numbers / measures / spelled /
+            # scaled numbers (mentions.h:256-391)
             for b in range(n):
                 w = toks[sb + b].word
                 if not num_re.match(w):
+                    sv = SPELLED.get(w.lower())
+                    if sv is not None:
+                        ends[b + 1].append((b, 0, CASE_NONE, str(sv)))
+                        if b + 1 < n and toks[sb + b + 1].brk <= 1:
+                            sc = SCALES.get(toks[sb + b + 1].word.lower())
+                            if sc is not None:
+                                ends[b + 2].append(
+                                    (b, 0, CASE_NONE, scale_value(sv, sc))
+                                )
                     continue
                 v = parse_number_format(w)
                 if v is None:
@@ -370,6 +386,9 @@ def annotate(
                     unit = kb.UNITS.get(tok(1).word.lower())
                     if unit is not None:
                         ends[b + 2].append((b, 0, CASE_NONE, f"{v}@{unit}"))
+                    sc = SCALES.get(tok(1).word.lower())
+                    if sc is not None:
+                        ends[b + 2].append((b, 0, CASE_NONE, scale_value(v, sc)))
             # abbreviation spans + doc-level abbreviation map
             for e_rel, cand in _abbrev_scan(toks, sb, se, phrase_table, abbrev_map):
                 ends[e_rel].append(cand)

@@ -91,6 +91,10 @@ _NOISE = [
     "hard timeout is 2.5 sec per attempt",
     "payloads are capped at 64 kb on ingest",
     "retry after 250 ms on connection reset",
+    # spelled + scaled numbers (SpelledNumber/NumberScale annotators)
+    "spin up one hundred workers at startup",
+    "the pool preallocates 3 million rows",
+    "backlog drains at two thousand items per tick",
 ]
 
 _IDENTS = ["handler", "worker", "cursor", "buffer", "router", "codec",
