@@ -59,13 +59,23 @@ def main() -> None:
         assert n >= 0
 
     # KG pipeline throughput: n_files scales with sf (bench tier =
-    # 200k files at sf0.1 per FIXTURES.md; sf0.01 → 20k, etc.)
+    # 200k files at sf0.1 per FIXTURES.md; sf0.01 → 20k, etc.).
+    # Assets run in Parquet-store mode — the production/scale
+    # configuration (no driver collect; measured faster than broadcast
+    # at every size, BENCH/BASELINE.md §5).
+    import shutil
+    import tempfile
+
+    store_dir = tempfile.mkdtemp(prefix="bench_assets")
     n_files = max(200, int(2_000_000 * sf))
     t0 = time.time()
-    res = run_pipeline(spark, n_files=n_files, partitions=4 * cpus)
+    res = run_pipeline(
+        spark, n_files=n_files, partitions=4 * cpus, asset_store_dir=store_dir
+    )
     n_triples = res["triples"].count()
     kg_sec = round(time.time() - t0, 3)
     times["kg_pipeline"] = kg_sec
+    shutil.rmtree(store_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(

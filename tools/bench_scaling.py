@@ -32,18 +32,26 @@ def run_once(cores: int, n_files: int) -> dict:
         active.stop()
         time.sleep(2)
 
+    import shutil
+    import tempfile
+
     spark = get_spark(
         master=f"local[{cores}]",
         app_name=f"sling_scaling_{cores}",
         shuffle_partitions=2 * cores,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Parquet-store asset mode: the production/scale configuration
+    store_dir = tempfile.mkdtemp(prefix=f"scaling_assets_{cores}_")
     t0 = time.time()
-    res = run_pipeline(spark, n_files=n_files, partitions=4 * cores)
+    res = run_pipeline(
+        spark, n_files=n_files, partitions=4 * cores, asset_store_dir=store_dir
+    )
     n_triples = res["triples"].count()
     wall = time.time() - t0
     n_docs = res["documents"].count()
     spark.stop()
+    shutil.rmtree(store_dir, ignore_errors=True)
     time.sleep(2)
     return {
         "cores": cores,
