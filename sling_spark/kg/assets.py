@@ -35,6 +35,7 @@ seed-literal dicts is pytest-enforced):
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -151,18 +152,27 @@ class AssetStore:
     """Tiny picklable handle broadcast INSTEAD of the asset dicts: the
     Parquet directory each worker loads lazily (and caches per process).
     ``path`` must be worker-visible (shared FS / object store on a real
-    cluster; pyarrow reads s3://, hdfs:// and local paths alike)."""
+    cluster; pyarrow reads s3://, hdfs:// and local paths alike).
+
+    ``token`` is a per-build uuid minted by :func:`build_asset_store`:
+    the worker cache is keyed on (path, token), so rebuilding assets at
+    the SAME path (mode('overwrite'), e.g. a second pipeline run in one
+    application or a reused worker process with a user-fixed
+    ``--asset-store`` dir) invalidates every worker's cached copy
+    instead of silently serving the stale first build."""
 
     path: str
+    token: str = ""
 
 
-_STORE_CACHE: dict[str, KbAssets] = {}
+_STORE_CACHE: dict[tuple[str, str], KbAssets] = {}
 
 
 def load_assets(store: AssetStore) -> KbAssets:
     """Worker-side: read the asset Parquet columnarly and build the
-    lookup structures — once per (process, store path)."""
-    cached = _STORE_CACHE.get(store.path)
+    lookup structures — once per (process, store path, build token)."""
+    cache_key = (store.path, store.token)
+    cached = _STORE_CACHE.get(cache_key)
     if cached is not None:
         return cached
     import pyarrow.parquet as pq
@@ -216,7 +226,7 @@ def load_assets(store: AssetStore) -> KbAssets:
         statements=statements,
         gender=gender,
     )
-    _STORE_CACHE[store.path] = assets
+    _STORE_CACHE[cache_key] = assets
     return assets
 
 
@@ -336,5 +346,13 @@ def build_asset_store(
     dfs = dict(dfs, idf=idf_table(documents))
     for name, df in dfs.items():
         df.write.mode("overwrite").parquet(os.path.join(store_dir, name))
-    store = AssetStore(path=store_dir)
+    # unique build token: rebuilding at the same path must invalidate
+    # worker-side _STORE_CACHE entries from earlier builds (ADVICE r02)
+    token = uuid.uuid4().hex
+    try:  # best-effort provenance marker alongside the Parquet
+        with open(os.path.join(store_dir, "_build_token"), "w") as fh:
+            fh.write(token)
+    except OSError:
+        pass  # non-local FS: the token in the handle is authoritative
+    store = AssetStore(path=store_dir, token=token)
     return spark.sparkContext.broadcast(store), dfs["phrase_table"]

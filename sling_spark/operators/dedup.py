@@ -112,19 +112,30 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity per document pair.
 
-    With ``candidates`` (from LSH) the intersection join is restricted to
-    candidate pairs (the scale path). Without, a self-join on shingle —
-    and because the shuffle key is the shingle, one hot shingle (license
-    header, boilerplate line) would otherwise create an O(n²) bucket, so
-    STOP-SHINGLES are dropped first: any shingle whose document frequency
-    exceeds ``max(stop_df_frac * n_docs, stop_min_df)`` is removed from
-    the whole computation (sizes AND intersections — jaccard is over the
-    filtered shingle universe, the stop-word analog). The stop set is
+    With ``candidates`` (from LSH) — the 100 TB scale path — the
+    intersection is computed ONLY over the candidate pair list: the
+    shingle relation is first semi-joined down to docs appearing in any
+    candidate pair, then each (doc_a, doc_b) pair is expanded by doc_a's
+    shingles and matched against doc_b's on (doc_b, shingle). Work is
+    O(candidate_pairs × avg_shingles), never the corpus-wide shingle
+    self-join. Without ``candidates``, a self-join on shingle is used —
+    bounded-input exact mode.
+
+    In BOTH modes, because the shingle DF distribution is corpus-skewed,
+    one hot shingle (license header, boilerplate line) would create an
+    O(n²) bucket in the no-candidates self-join and a fat probe side in
+    the candidates join, so STOP-SHINGLES are dropped unconditionally:
+    any shingle whose corpus-wide document frequency exceeds
+    ``max(stop_df_frac * n_docs, stop_min_df)`` is removed from the whole
+    computation (sizes AND intersections — jaccard is over the filtered
+    shingle universe, the stop-word analog). The stop set is
     high-frequency by construction, hence tiny → broadcast anti-join; the
     doc count enters the plan as a broadcast scalar, no driver action.
     Pass ``stop_df_frac=None`` to disable (exact jaccard on all shingles).
     """
-    if candidates is None and stop_df_frac is not None:
+    if stop_df_frac is not None:
+        # Corpus-wide DF (computed BEFORE any candidate restriction so
+        # the stop set reflects real hotness, not the candidate sample).
         n_docs = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
         stop = (
             sh.groupBy("shingle")
@@ -137,19 +148,42 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(stop), on="shingle", how="left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
     if candidates is not None:
-        pairs = pairs.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+        # Scale path: shrink the shingle relation to candidate docs
+        # FIRST (semi-join below the expensive joins — Catalyst will not
+        # push a semi-join below an aggregation, so doing it here is the
+        # only place it restricts the scan), then compute intersections
+        # per candidate pair.
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .union(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, on="doc_id", how="left_semi")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+        pairs = (
+            candidates.join(
+                sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                on=["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), on="shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
     out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")

@@ -134,7 +134,10 @@ def term_search(spark: SparkSession, query: str, limit: int = 10) -> DataFrame:
     across the query's terms — intersect each term's posting list,
     ranked by how few items share the rarest term (specificity). Expects
     a ``search_index`` view (term, n_items, postings)."""
-    terms = [t for t in query.lower().split() if t]
+    # dedupe (order-preserving): `term IN (...)` matches each index row
+    # once regardless of query duplicates, so the AND is over DISTINCT
+    # terms — a repeated word must not raise the HAVING count (ADVICE r02)
+    terms = list(dict.fromkeys(t for t in query.lower().split() if t))
     if not terms:
         return spark.sql("SELECT NULL AS entity WHERE FALSE")
     marks = ", ".join("?" for _ in terms)

@@ -254,6 +254,21 @@ def wikidata_sitelinks(dump, json_col: str = "value"):
     return dump.select(json_col).mapInPandas(parse, schema=SITELINK_SCHEMA)
 
 
+def wiki_title_norm(col):
+    """MediaWiki title normalization (the Wiki::Id rule, reference
+    sling/nlp/wiki/wiki.cc): strip a ``#section`` anchor, fold
+    underscores to spaces, collapse whitespace, and uppercase the first
+    letter — applied identically to link targets AND sitelink titles so
+    lowercase-first or anchored links still join (ADVICE r02). Pure
+    Catalyst column expression."""
+    from pyspark.sql import functions as F
+
+    t = F.regexp_replace(col, "#.*$", "")
+    t = F.regexp_replace(t, "_", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.concat(F.upper(t.substr(F.lit(1), F.lit(1))), t.substr(F.lit(2), F.length(t)))
+
+
 def wikipedia_mapping(items, sitelinks, lang: str = "en"):
     """pageid/title → QID dimension (WikipediaMapping, reference
     wikidata-importer.cc:237-365): for every item with a ``{lang}wiki``
@@ -282,7 +297,7 @@ def wikipedia_mapping(items, sitelinks, lang: str = "en"):
         .otherwise(F.lit("article"))
     )
     return joined.select(
-        F.concat(F.lit(f"/wp/{lang}/"), F.col("title")).alias("wiki_id"),
+        F.concat(F.lit(f"/wp/{lang}/"), wiki_title_norm(F.col("title"))).alias("wiki_id"),
         "qid",
         kind.alias("kind"),
     )

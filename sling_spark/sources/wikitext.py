@@ -556,8 +556,10 @@ def wikipedia_alias_rows(parsed, mapping, lang: str = "en"):
     articles = mapping.filter(F.col("kind") == "article").select(
         F.col("wiki_id"), F.col("qid")
     )
+    from ..sources.wikidata import wiki_title_norm
+
     resolved = anchors.withColumn(
-        "wiki_id", F.concat(F.lit(f"/wp/{lang}/"), F.col("target"))
+        "wiki_id", F.concat(F.lit(f"/wp/{lang}/"), wiki_title_norm(F.col("target")))
     ).join(F.broadcast(articles), on="wiki_id")
 
     def finish(batches):

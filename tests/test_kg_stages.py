@@ -392,6 +392,27 @@ def test_asset_store_scale_path(spark, tmp_path):
     ents = {r["entity"] for r in detect_mentions(probe, bc3).collect()}
     assert "E7" in ents
 
+    # --- rebuild at the SAME path invalidates worker caches -------------
+    # (ADVICE r02: _STORE_CACHE was keyed by path only, so a reused
+    # worker process silently annotated with the stale first build).
+    # Calling load_assets twice in THIS process is exactly the
+    # reused-worker scenario.
+    first = load_assets(bc3.value)
+    extra = dict(big_seed)
+    extra["aliases"] = big_seed["aliases"].union(
+        spark.createDataFrame(
+            [("E999", "freshalias token", phrase_fingerprint("freshalias token"),
+              9, phrase_form("freshalias token"), 2)],
+            "entity string, alias string, fp long, count int, form int, sources int",
+        )
+    )
+    bc4, _ = build_asset_store(spark, stats, big_dir, extra)
+    assert bc4.value.token != bc3.value.token
+    second = load_assets(bc4.value)
+    fp_new = phrase_fingerprint("freshalias token")
+    assert fp_new not in first.phrase_table  # stale build lacks it
+    assert fp_new in second.phrase_table  # rebuild visible despite same path
+
     docs.unpersist()
     stats.unpersist()
 

@@ -161,3 +161,29 @@ def test_new_operator_plan_shapes(spark):
     docs_plan = formatted_plan(synthetic_documents(spark, 100, partitions=2))
     assert "Exchange" not in docs_plan  # zero-shuffle documents
     assert "MapInPandas" in docs_plan  # generation is the one Python pass
+
+
+def test_jaccard_candidates_path_restricts_scan(spark):
+    """Round-2 verdict defect #1: with LSH `candidates`, jaccard_pairs
+    must NOT run the corpus-wide shingle self-join (a join keyed by
+    shingle alone) — the shingle relation is semi-joined down to
+    candidate docs and intersections come from joining the candidate
+    pair list, so the only joins in the plan are keyed by doc ids (or
+    doc_b+shingle), never by shingle alone."""
+    from sling_spark.operators.dedup import jaccard_pairs
+
+    sh = spark.createDataFrame(
+        [("d1", "a b c"), ("d1", "b c d"), ("d2", "a b c"), ("d3", "x y z")],
+        "doc_id string, shingle string",
+    )
+    cand = spark.createDataFrame([("d1", "d2")], "doc_a string, doc_b string")
+    plan = formatted_plan(jaccard_pairs(sh, min_jaccard=0.1, candidates=cand))
+    # the defective shape: an INNER join whose sole key is the shingle
+    # column (the stop-shingle LeftAnti join is legitimately shingle-keyed)
+    for block in plan.split("\n\n"):
+        if "keys [1]: [shingle#" in block:
+            assert "Join type: Inner" not in block, block
+    # the candidate-doc restriction (LeftSemi) is present, BELOW the agg
+    assert "LeftSemi" in plan, plan
+    # and the stop-shingle anti-join runs on this path too
+    assert "LeftAnti" in plan, plan

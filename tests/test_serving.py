@@ -71,3 +71,9 @@ def test_term_search(spark):
     years = {r["entity"] for r in term_search(spark, "2014").collect()}
     assert "Q1" in years
     assert term_search(spark, "").count() == 0
+    # repeated query words must not raise the AND count: "spark spark"
+    # is the same AND as "spark" (ADVICE r02 — IN matches each index row
+    # once regardless of duplicates)
+    once = {r["entity"] for r in term_search(spark, "apache spark").collect()}
+    dup = {r["entity"] for r in term_search(spark, "apache spark spark").collect()}
+    assert dup == once and "Q1" in dup

@@ -91,3 +91,46 @@ def test_stop_shingle_cap_defuses_hot_shingle(spark):
     # the capped plan carries the broadcast anti-join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_stop_shingle_cap_applies_on_candidates_path(spark):
+    """Round-2 verdict defect: the LSH-candidates path skipped the
+    stop-shingle cap AND ran the full shingle self-join. Now the cap is
+    unconditional and intersections are computed per candidate pair —
+    the hot shingle must not count toward any candidate pair's
+    intersection, and the result must equal the no-candidates result
+    restricted to the candidate list."""
+    from sling_spark.operators.dedup import jaccard_pairs
+
+    n = 400
+    rows = []
+    for i in range(n):
+        sh = [f"u{i} v{i} w{i}", f"x{i} y{i} z{i}"]
+        if i % 2 == 0:
+            sh.append("license header line")  # hot: 50% of docs
+        if i < 6:
+            sh.append("shared rare shingle")
+            sh.append("second shared shingle")
+        rows.extend((f"d{i}", s) for s in sh)
+    sh_df = spark.createDataFrame(rows, "doc_id string, shingle string")
+
+    # candidates include real near-dups AND hot-shingle-only pairs
+    cand = spark.createDataFrame(
+        [("d0", "d1"), ("d2", "d3"), ("d0", "d2"), ("d10", "d12"), ("d100", "d102")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+        for r in jaccard_pairs(sh_df, min_jaccard=0.01, candidates=cand).collect()
+    }
+    # hot-only pairs are defused by the unconditional cap
+    assert ("d10", "d12") not in got and ("d100", "d102") not in got
+    # real overlaps survive with hot shingle excluded from intersections
+    assert got[("d0", "d1")][0] == 2 and got[("d0", "d2")][0] == 2
+    # parity: candidates path == no-candidates path ∩ candidate list
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+        for r in jaccard_pairs(sh_df, min_jaccard=0.01).collect()
+    }
+    cand_keys = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == {k: v for k, v in full.items() if k in cand_keys}

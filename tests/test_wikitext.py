@@ -102,6 +102,10 @@ def test_spark_parse_articles_and_anchor_aliases(spark):
         [
             ("A", "See [[Apache Spark|Spark]] and [[Apache Spark]].\n"),
             ("B", "Also [[Apache Spark|Spark]] here. [[Category:X]]\n"),
+            # MediaWiki-normalized link forms that must still resolve:
+            # lowercase first letter, underscores, section anchor
+            ("C", "See [[apache Spark|lower]] and [[Apache_Spark|under]] "
+                  "and [[Apache Spark#History|hist]].\n"),
         ],
         "title string, wikitext string",
     )
@@ -129,4 +133,9 @@ def test_spark_parse_articles_and_anchor_aliases(spark):
     }
     assert aliases[("Q1", "Spark")] == (2, 4)
     assert aliases[("Q1", "Apache Spark")] == (1, 4)
+    # title-normalized targets (lowercase-first / underscore / #anchor)
+    # all joined through to Q1 (ADVICE r02 — Wiki::Id normalization)
+    assert aliases[("Q1", "lower")] == (1, 4)
+    assert aliases[("Q1", "under")] == (1, 4)
+    assert aliases[("Q1", "hist")] == (1, 4)
     parsed.unpersist()
