@@ -23,6 +23,23 @@ from pyspark.sql import functions as F
 _DATE_RE = re.compile(r"^(-?\d{1,4})(?:-(\d{2}))?(?:-(\d{2}))?$")
 _STAR_RE = re.compile(r"^([+-]?)(\d+)(\*{1,3})$")
 
+#: English month inventory (the calendar month items' names, reference
+#: sling/nlp/kb/calendar.cc month handling — our fixed-inventory analog)
+MONTHS = {
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+    "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
+    "november": 11, "december": 12,
+}
+_MONTH_ALT = "|".join(MONTHS)
+#: textual forms resolved by the DateAnnotator analog (calendar.cc
+#: ParseFromNumber / date parsing semantics): "May 14, 1984",
+#: "14 May 1984", "May 1984", decades "1960s", centuries "19th century"
+_TEXT_MDY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{1,2}})\s*,\s+(\d{{4}})$", re.I)
+_TEXT_DMY_RE = re.compile(rf"^(\d{{1,2}})\s+({_MONTH_ALT})\s+(\d{{4}})$", re.I)
+_TEXT_MY_RE = re.compile(rf"^({_MONTH_ALT})\s+(\d{{4}})$", re.I)
+_TEXT_DECADE_RE = re.compile(r"^([12]\d{2})0s$")
+_TEXT_CENTURY_RE = re.compile(r"^(\d{1,2})(?:st|nd|rd|th)\s+century$", re.I)
+
 P_NONE, P_MILLENNIUM, P_CENTURY, P_DECADE, P_YEAR, P_MONTH, P_DAY = range(7)
 
 #: year-granularity divisor per coarse precision
@@ -38,9 +55,37 @@ class ParsedDate:
 
 
 def parse_date(text: str) -> ParsedDate | None:
-    """Parse 'Y', 'Y-M', 'Y-M-D' (negative year = BC) plus the coarse
-    star forms '195*' (decade), '19**' (century), '1***' (millennium)."""
-    text = text or ""
+    """Parse 'Y', 'Y-M', 'Y-M-D' (negative year = BC), the coarse star
+    forms '195*' (decade), '19**' (century), '1***' (millennium), and
+    the textual forms the date annotators resolve: 'May 14, 1984',
+    '14 May 1984', 'May 1984', '1960s' (decade), '19th century'
+    (century; Nth century → star prefix N-1, the pure-prefix convention
+    documented at :func:`_coarse`)."""
+    text = (text or "").strip()
+    m = _TEXT_MDY_RE.match(text)
+    if m:
+        day, year = int(m.group(2)), int(m.group(3))
+        if not 1 <= day <= 31:
+            return None
+        return ParsedDate(year, MONTHS[m.group(1).lower()], day, P_DAY)
+    m = _TEXT_DMY_RE.match(text)
+    if m:
+        day, year = int(m.group(1)), int(m.group(3))
+        if not 1 <= day <= 31:
+            return None
+        return ParsedDate(year, MONTHS[m.group(2).lower()], day, P_DAY)
+    m = _TEXT_MY_RE.match(text)
+    if m:
+        return ParsedDate(int(m.group(2)), MONTHS[m.group(1).lower()], 0, P_MONTH)
+    m = _TEXT_DECADE_RE.match(text)
+    if m:
+        return ParsedDate(int(m.group(1)) * 10, 0, 0, P_DECADE)
+    m = _TEXT_CENTURY_RE.match(text)
+    if m:
+        n = int(m.group(1))
+        if not 1 <= n <= 21:
+            return None
+        return ParsedDate((n - 1) * 100, 0, 0, P_CENTURY)
     m = _STAR_RE.match(text)
     if m:
         sign = -1 if m.group(1) == "-" else 1

@@ -179,6 +179,17 @@ def _unit_of(word: str) -> str | None:
     return UNITS.get(word.lower())
 
 
+@lru_cache(maxsize=1 << 18)
+def _month_of(word: str) -> int | None:
+    from ..functions.dates import MONTHS
+
+    return MONTHS.get(word.lower())
+
+
+def _is_y4(word: str) -> bool:
+    return len(word) == 4 and word.isdigit()
+
+
 #: words skipped when matching abbreviation initials
 #: (AbbreviationAnnotator::Init, reference mentions.cc:1102-1110)
 ABBREV_SKIP = {"-", "&", "of", "for", "and", "the", "in",
@@ -194,6 +205,9 @@ def _scan_abbreviations(
     se: int,
     phrase_table,
     abbrev_map: dict[str, int],
+    scan_defs: bool = True,
+    words_arr: "np.ndarray | None" = None,
+    occ_index: "dict[str, np.ndarray] | None" = None,
 ) -> list[tuple[int, int, int, int, str]]:
     """AbbreviationAnnotator (reference mentions.cc:1115-1200) for one
     sentence: find ``PHRASE ( ABBR )`` where ABBR is an all-caps token
@@ -205,9 +219,20 @@ def _scan_abbreviations(
     span (it may exceed max_span) and every occurrence of the
     abbreviation token from this sentence on — so later ``ABBR``
     mentions resolve like the full phrase. Added candidates use
-    CASE_NONE (no case penalty), sentence-relative coordinates."""
+    CASE_NONE (no case penalty), sentence-relative coordinates.
+
+    ``scan_defs=False`` skips the ``PHRASE ( ABBR )`` definition scan
+    (the caller proved the sentence has no usable '(' token via the
+    batch-level paren mask — the overwhelming majority); the
+    occurrence re-scan still runs when the doc-level map is non-empty.
+    ``words_arr``/``occ_index`` enable the vectorized occurrence path:
+    per registered abbreviation word, token positions come from ONE
+    np.nonzero over the document (cached in ``occ_index``) +
+    searchsorted per sentence, replacing the per-token dict probe.
+    Output is order-insensitive downstream (_solve_cover sorts), and
+    parity with the scalar loop is oracle-tested."""
     extra: list[tuple[int, int, int, int, str]] = []
-    for b in range(sb, se - 3):
+    for b in range(sb, se - 3) if scan_defs else ():
         if words[b + 1] != "(" or words[b + 3] != ")":
             continue
         ab = words[b + 2]
@@ -250,10 +275,24 @@ def _scan_abbreviations(
         if pfp in phrase_table:
             extra.append((pb - sb, pe - sb, pfp, CASE_NONE, ""))
     if abbrev_map:
-        for i in range(sb, se):
-            pfp = abbrev_map.get(words[i])
-            if pfp is not None and pfp in phrase_table:
-                extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
+        if words_arr is not None and occ_index is not None:
+            for ab, pfp in abbrev_map.items():
+                if pfp not in phrase_table:
+                    continue
+                pos = occ_index.get(ab)
+                if pos is None:
+                    pos = np.nonzero(words_arr == ab)[0]
+                    occ_index[ab] = pos
+                k0 = int(np.searchsorted(pos, sb))
+                k1 = int(np.searchsorted(pos, se))
+                for k in range(k0, k1):
+                    i = int(pos[k])
+                    extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
+        else:
+            for i in range(sb, se):
+                pfp = abbrev_map.get(words[i])
+                if pfp is not None and pfp in phrase_table:
+                    extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
     return extra
 
 
@@ -270,6 +309,13 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
 
     - ISO date runs ``YYYY-MM[-DD]`` (adjacent tokens — BREAK_NONE means
       zero gap — month 1..12, day 1..31); only the maximal form per start
+    - month-name dates (calendar.cc month resolution): ``May 14, 1984``
+      and ``14 May 1984`` → YYYY-MM-DD, ``May 1984`` → YYYY-MM (maximal
+      form per month-led start); case-insensitive full English month
+      names (MONTHS in functions/dates.py)
+    - decades ``1960s`` (year token + adjacent 's') → star form ``196*``
+      and centuries ``19th century`` (ordinal + 'century') → ``18**``
+      (Nth century → prefix N-1; calendar.h:82-84 star notation)
     - bare years (4 digits in 1582..2038 → date span, value = surface)
     - numbers: a numeric token annotated with its PARSED value
     - SPELLED numbers ('three' → 3) and SCALED numbers ('3 million',
@@ -286,6 +332,25 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
     for i in range(n):
         lit = _lit_word(words[i])
         if lit is None:
+            # month-led date forms: MONTH DD , YYYY | MONTH YYYY
+            mi = _month_of(words[i])
+            if mi is not None and i + 1 < n and brks[i + 1] <= 1:
+                if (
+                    i + 3 < n
+                    and words[i + 1].isdigit()
+                    and len(words[i + 1]) <= 2
+                    and 1 <= int(words[i + 1]) <= 31
+                    and words[i + 2] == ","
+                    and brks[i + 2] == 0
+                    and brks[i + 3] <= 1
+                    and _is_y4(words[i + 3])
+                ):
+                    out.append(
+                        (i, i + 4,
+                         f"{words[i + 3]}-{mi:02d}-{int(words[i + 1]):02d}")
+                    )
+                elif _is_y4(words[i + 1]):
+                    out.append((i, i + 2, f"{words[i + 1]}-{mi:02d}"))
             sv = _spelled_of(words[i])
             if sv is None:
                 continue
@@ -322,6 +387,43 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
                 out.append((i, i + 5, f"{words[i]}-{words[i + 2]}-{words[i + 4]}"))
             else:
                 out.append((i, i + 3, f"{words[i]}-{words[i + 2]}"))
+        # DD MONTH YYYY (day-first month-name date)
+        if (
+            len(words[i]) <= 2
+            and words[i].isdigit()
+            and 1 <= int(words[i]) <= 31
+            and i + 2 < n
+            and brks[i + 1] <= 1
+            and brks[i + 2] <= 1
+            and _month_of(words[i + 1]) is not None
+            and _is_y4(words[i + 2])
+        ):
+            out.append(
+                (i, i + 3,
+                 f"{words[i + 2]}-{_month_of(words[i + 1]):02d}-{int(words[i]):02d}")
+            )
+        # decade: 'YYY0' + adjacent 's' ("the 1960s") → star form
+        if (
+            y4
+            and words[i][0] in "12"
+            and words[i][3] == "0"
+            and i + 1 < n
+            and words[i + 1] == "s"
+            and brks[i + 1] == 0
+        ):
+            out.append((i, i + 2, words[i][:3] + "*"))
+        # century: 'N' + adjacent ordinal suffix + 'century' → star form
+        if (
+            len(words[i]) <= 2
+            and words[i].isdigit()
+            and 1 <= int(words[i]) <= 21
+            and i + 2 < n
+            and brks[i + 1] == 0
+            and words[i + 1] in ("st", "nd", "rd", "th")
+            and brks[i + 2] <= 1
+            and words[i + 2].lower() == "century"
+        ):
+            out.append((i, i + 3, f"{int(words[i]) - 1}**"))
         # bare year (date) or plain number
         out.append((i, i + 1, words[i] if year else value))
         if i + 1 < n and brks[i + 1] <= 1:
@@ -597,6 +699,15 @@ def _annotate_from_candidates(
     else:
         cuts = [0] * (len(bounds) + 1)
 
+    # abbreviation pre-scan support: ONE vectorized pass finds every '('
+    # position in the document, so the per-token definition scan runs
+    # only on the rare sentences that can contain `PHRASE ( ABBR )`;
+    # occurrence positions per registered abbreviation word are likewise
+    # found once per document (lazily) instead of per-token per-sentence.
+    words_arr = np.array(words, dtype=object) if words else np.zeros(0, object)
+    paren_pos = np.nonzero(words_arr == "(")[0]
+    occ_index: dict[str, np.ndarray] = {}
+
     for s_idx, (sb, se) in enumerate(bounds):
         n = se - sb
         lo, hi = cuts[s_idx], cuts[s_idx + 1]
@@ -604,9 +715,15 @@ def _annotate_from_candidates(
             (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k], clit[k])
             for k in range(lo, hi)
         ] if hi > lo else []
-        sent_cands += _scan_abbreviations(
-            words, brks, fps, forms, sb, se, phrase_table, abbrev_map
-        )
+        # '(' must sit at positions sb+1..se-3 for a definition to fit
+        p0 = int(np.searchsorted(paren_pos, sb + 1))
+        scan_defs = p0 < paren_pos.size and paren_pos[p0] <= se - 3
+        if scan_defs or abbrev_map:
+            sent_cands += _scan_abbreviations(
+                words, brks, fps, forms, sb, se, phrase_table, abbrev_map,
+                scan_defs=bool(scan_defs), words_arr=words_arr,
+                occ_index=occ_index,
+            )
         spans = _solve_cover(sent_cands, n) if sent_cands else []
 
         # ---- 4: resolve, left to right --------------------------------

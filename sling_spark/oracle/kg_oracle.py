@@ -20,6 +20,7 @@ import math
 import re
 from collections import defaultdict
 
+from ..functions.dates import MONTHS
 from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
 from ..functions.normalize import CASE_NONE, normalize_phrase
 from ..functions.numbers import (
@@ -339,6 +340,32 @@ def annotate(
             for b in range(n):
                 w = toks[sb + b].word
                 if not num_re.match(w):
+                    # month-led date forms (calendar month inventory):
+                    # MONTH DD , YYYY | MONTH YYYY
+                    mi = MONTHS.get(w.lower())
+                    if mi is not None and b + 1 < n and toks[sb + b + 1].brk <= 1:
+                        t1, t2 = toks[sb + b + 1], (
+                            toks[sb + b + 3] if b + 3 < n else None
+                        )
+                        if (
+                            t2 is not None
+                            and t1.word.isdigit()
+                            and len(t1.word) <= 2
+                            and 1 <= int(t1.word) <= 31
+                            and toks[sb + b + 2].word == ","
+                            and toks[sb + b + 2].brk == 0
+                            and t2.brk <= 1
+                            and len(t2.word) == 4
+                            and t2.word.isdigit()
+                        ):
+                            ends[b + 4].append(
+                                (b, 0, CASE_NONE,
+                                 f"{t2.word}-{mi:02d}-{int(t1.word):02d}")
+                            )
+                        elif len(t1.word) == 4 and t1.word.isdigit():
+                            ends[b + 2].append(
+                                (b, 0, CASE_NONE, f"{t1.word}-{mi:02d}")
+                            )
                     sv = SPELLED.get(w.lower())
                     if sv is not None:
                         ends[b + 1].append((b, 0, CASE_NONE, str(sv)))
@@ -381,6 +408,44 @@ def annotate(
                         )
                     else:
                         ends[b + 3].append((b, 0, CASE_NONE, f"{w}-{tok(2).word}"))
+                # DD MONTH YYYY (day-first month-name date)
+                if (
+                    len(w) <= 2
+                    and w.isdigit()
+                    and 1 <= int(w) <= 31
+                    and b + 2 < n
+                    and tok(1).brk <= 1
+                    and tok(2).brk <= 1
+                    and MONTHS.get(tok(1).word.lower()) is not None
+                    and len(tok(2).word) == 4
+                    and tok(2).word.isdigit()
+                ):
+                    ends[b + 3].append(
+                        (b, 0, CASE_NONE,
+                         f"{tok(2).word}-{MONTHS[tok(1).word.lower()]:02d}-{int(w):02d}")
+                    )
+                # decade: 'YYY0' + adjacent 's' → star form
+                if (
+                    y4
+                    and w[0] in "12"
+                    and w[3] == "0"
+                    and b + 1 < n
+                    and tok(1).word == "s"
+                    and tok(1).brk == 0
+                ):
+                    ends[b + 2].append((b, 0, CASE_NONE, w[:3] + "*"))
+                # century: 'N' + adjacent ordinal + 'century' → star form
+                if (
+                    len(w) <= 2
+                    and w.isdigit()
+                    and 1 <= int(w) <= 21
+                    and b + 2 < n
+                    and tok(1).brk == 0
+                    and tok(1).word in ("st", "nd", "rd", "th")
+                    and tok(2).brk <= 1
+                    and tok(2).word.lower() == "century"
+                ):
+                    ends[b + 3].append((b, 0, CASE_NONE, f"{int(w) - 1}**"))
                 ends[b + 1].append((b, 0, CASE_NONE, w if is_year(w) else str(v)))
                 if b + 1 < n and tok(1).brk <= 1:
                     unit = kb.UNITS.get(tok(1).word.lower())

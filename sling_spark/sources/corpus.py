@@ -95,7 +95,38 @@ _NOISE = [
     "spin up one hundred workers at startup",
     "the pool preallocates 3 million rows",
     "backlog drains at two thousand items per tick",
+    # decade / century textual date forms (DateAnnotator coarse dates,
+    # calendar.cc ParseFromNumber star-notation analogs)
+    "this wire format dates back to the 1990s",
+    "hash folding tricks from the 19th century still apply",
 ]
+
+#: textual renderings of date literals (month-name date forms — the
+#: DateAnnotator resolves these through the calendar month inventory)
+_MONTH_NAMES = ["January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November",
+                "December"]
+
+
+def _render_date(rng: random.Random, iso: str) -> str:
+    """Pick a surface form for an ISO date literal: day-precision dates
+    render as ISO, 'May 14, 1984' or '14 May 1984'; month-precision as
+    ISO or 'May 1984'. The annotator must recover the SAME normalized
+    value from every form (so distant supervision still matches the P6
+    fact object exactly)."""
+    parts = iso.split("-")
+    if len(parts) == 3 and parts[1].isdigit():
+        y, m, d = parts
+        form = rng.randrange(3)
+        if form == 1:
+            return f"{_MONTH_NAMES[int(m) - 1]} {int(d)}, {y}"
+        if form == 2:
+            return f"{int(d)} {_MONTH_NAMES[int(m) - 1]} {y}"
+    elif len(parts) == 2 and parts[1].isdigit():
+        y, m = parts
+        if rng.randrange(2):
+            return f"{_MONTH_NAMES[int(m) - 1]} {y}"
+    return iso
 
 _IDENTS = ["handler", "worker", "cursor", "buffer", "router", "codec",
            "planner", "scheduler", "broker", "registry", "sampler", "probe"]
@@ -201,9 +232,13 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
             stmts = [st for st in _FACTS[s] if st[0] not in kb.BLOCKED_PROPERTIES]
             pid, obj = rng.choice(stmts)
             tpl = rng.choice(_REL_TEMPLATES[pid])
-            # literal objects (P6 dates) render verbatim — there is no
-            # alias for a date; the date-span annotator must recover it
-            o_text = _pick_alias(rng, obj) if obj in _ENTITY_ALIASES else obj
+            # literal objects (P6 dates) render in a rotated surface
+            # form (ISO / month-name) — there is no alias for a date;
+            # the date-span annotators must recover the normalized value
+            o_text = (
+                _pick_alias(rng, obj) if obj in _ENTITY_ALIASES
+                else _render_date(rng, obj)
+            )
             comment(tpl.format(s=_pick_alias(rng, s), o=o_text))
             primed.extend([s, obj])
         elif kind < 7:  # single-mention sentence

@@ -38,6 +38,32 @@ def test_parse_date_and_precision():
     assert parse_date("19***") is None  # > 4 digits of year
     assert more_precise("195*", "1958-03") == "1958-03"  # inside the decade
     assert more_precise("19**", "1958") == "1958"
+
+
+def test_parse_date_textual_forms():
+    """Month-name / decade / century textual forms (DateAnnotator
+    calendar resolution, reference sling/nlp/kb/calendar.cc)."""
+    from sling_spark.functions.dates import P_CENTURY, P_DECADE
+
+    d = parse_date("May 14, 1984")
+    assert (d.year, d.month, d.day, d.precision) == (1984, 5, 14, P_DAY)
+    # token-joined surface (comma is its own token in mention phrases)
+    assert parse_date("May 14 , 1984") == d
+    assert parse_date("may 14, 1984") == d  # case-insensitive
+    d2 = parse_date("14 May 1984")
+    assert (d2.year, d2.month, d2.day, d2.precision) == (1984, 5, 14, P_DAY)
+    dm = parse_date("September 2016")
+    assert (dm.year, dm.month, dm.precision) == (2016, 9, P_MONTH)
+    dd = parse_date("1960s")
+    assert (dd.year, dd.precision) == (1960, P_DECADE)
+    dc = parse_date("19th century")  # 1801-1900 → star prefix 18
+    assert (dc.year, dc.precision) == (1800, P_CENTURY)
+    assert parse_date("21st century").year == 2000
+    assert parse_date("May 32, 1984") is None  # invalid day
+    assert parse_date("0th century") is None
+    # textual and star forms agree under more_precise
+    assert more_precise("196*", "1964-07") == "1964-07"
+    assert more_precise("18**", "1867") == "1867"
     assert more_precise("195*", "1968") == "195*"  # different decade
 
 
