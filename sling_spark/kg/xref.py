@@ -115,51 +115,80 @@ def normalized_edges(same_as: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", §3): for every node u with neighborhood N(u)
+    (symmetric view), connect each STRICTLY LARGER neighbor v > u to
+    m = min(N(u) ∪ {u}). All output edges are (larger, smaller)."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mv"))
+    m = F.least(F.col("a"), F.col("mv"))
+    return (
+        sym.join(mins, on="a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), m.alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge (larger, smaller); for
+    every node u connect all of its SMALLER neighbors — and u itself —
+    to m = min of the smaller neighborhood."""
+    es = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+    mins = es.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        es.join(mins, on="a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select(F.col("a").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, loop_partitions: int = 8
 ) -> DataFrame:
-    """Min-label propagation: (id, component), component = lexicographic
-    min reachable id. O(diameter) shuffle rounds, partial-agg combined.
-    The loop runs on ``loop_partitions`` (the id space is the DIMENSION
-    side — scheduling 64 tasks per round for a KB-sized table is pure
-    overhead; raise for planet-scale id graphs)."""
-    sym = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition(loop_partitions, "a")
-        .persist()
-    )
-    labels = (
-        sym.select(F.col("a").alias("id"))
+    """Large-star/small-star alternation (Kiveris et al.): (id,
+    component), component = lexicographic min reachable id. Converges in
+    O(log n) rounds on ANY graph — the round-2 min-label version was
+    O(diameter), which silently returns NON-converged labels on a long
+    chain within any fixed iteration budget. Convergence is checked
+    every 2 rounds with one cheap checksum aggregate over the
+    checkpointed edge set (count + hash-sum) instead of the old
+    per-round join + count action. The loop runs on ``loop_partitions``
+    (the id space is the DIMENSION side — scheduling 64 tasks per round
+    for a KB-sized table is pure overhead; raise for planet-scale id
+    graphs). Sets ``connected_components.last_rounds`` for tests.
+
+    At the fixpoint the edge set is exactly the star forest
+    (member → component-min), so labels are read off the edges."""
+    e = edges.select("a", "b").coalesce(loop_partitions).localCheckpoint()
+    prev_sig = None
+    rounds = 0
+    for it in range(max_iter):
+        e = _large_star(e).coalesce(loop_partitions).localCheckpoint()
+        e = _small_star(e).coalesce(loop_partitions).localCheckpoint()
+        rounds += 1
+        if it % 2 == 1 or it == max_iter - 1:
+            sig = e.agg(
+                F.count("*").alias("n"),
+                # xor-fold of per-edge hashes: order-insensitive and
+                # overflow-free under ANSI mode (sum of longs is not)
+                F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+            ).first()
+            sig = (sig["n"], sig["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    connected_components.last_rounds = rounds
+    return (
+        e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+        .union(
+            e.select(F.col("b").alias("id"), F.col("b").alias("component"))
+        )
         .distinct()
-        .withColumn("component", F.col("id"))
-        .coalesce(loop_partitions)
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .select(F.col("b").alias("id"), "component")
-        )
-        new_labels = (
-            labels.select("id", "component")
-            .union(neighbor_min)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .coalesce(loop_partitions)
-            .localCheckpoint()  # truncate lineage each round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels
 
 
 CONFLICTS_SCHEMA = (

@@ -141,6 +141,80 @@ def test_xref_distributed_equals_driver_on_random_graphs(spark):
         assert drv == dist, f"seed {seed}"
 
 
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Adversarial O(diameter) fixture: a 10^6-edge chain. The round-2
+    min-label CC needed diameter (10^6) rounds and silently returned
+    non-converged labels within any fixed budget; large-star/small-star
+    must label every node with the chain minimum in <= log2(n) + slack
+    alternation rounds (Kiveris et al. convergence bound)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.xref import connected_components
+
+    n_edges = 1_000_000
+    e = spark.range(n_edges).select(
+        F.format_string("i/%07d", F.col("id")).alias("a"),
+        F.format_string("i/%07d", F.col("id") + 1).alias("b"),
+    )
+    labels = connected_components(e, loop_partitions=32)
+    wrong = labels.filter(F.col("component") != F.lit("i/0000000")).count()
+    assert wrong == 0
+    assert labels.count() == n_edges + 1
+    rounds = connected_components.last_rounds
+    assert rounds <= math.ceil(math.log2(n_edges + 1)) + 2, rounds
+
+
+def test_connected_components_parity_with_driver_union_find(spark):
+    """Exact label parity against a driver-side union-find on a mixed
+    adversarial graph: long chains (diameter stress), stars (skew
+    stress), and random cross edges, with string ids whose lexicographic
+    order differs from insertion order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.xref import connected_components
+
+    rng = random.Random(13)
+    edges: list[tuple[str, str]] = []
+    # three chains of 300
+    for c in range(3):
+        ids = [f"n/{c}/{i:04d}" for i in range(300)]
+        edges += list(zip(ids, ids[1:]))
+    # two stars of 200
+    for s in range(2):
+        hub = f"hub/{s}"
+        edges += [(hub, f"leaf/{s}/{i:03d}") for i in range(200)]
+    # random cross edges among a pool (joins some structures)
+    pool = [e[0] for e in edges[::7]]
+    edges += [tuple(rng.sample(pool, 2)) for _ in range(120)]
+
+    # driver union-find → component = min member id
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, loop_partitions=8).collect()
+    }
+    assert got == expected
+
+
 @st.composite
 def _lex_doc(draw):
     n = draw(st.integers(min_value=1, max_value=12))
