@@ -1442,6 +1442,61 @@ def q_kg_biaffine_spans(spark, sf_dir):
     return score_spans(docs, threshold=1.5)
 
 
+def q_kg_bio_spans(spark, sf_dir):
+    """Batched BIO sequence-tagging decode over the synthetic corpus
+    (the bio-decoder analog, SURVEY.md §2.8 — reference
+    sling/nlp/parser/bio-decoder.cc:224-289 constrained greedy decode).
+    Deterministic seeded weights over the SAME shared token encodings as
+    the biaffine scorer → the driver-side NumPy twin in _sql_bio()
+    reproduces every span and score bit-for-bit."""
+    from .kg.bio import bio_spans
+    from .kg.documents import build_documents
+    from .sources.corpus import corpus_df
+
+    docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
+    return bio_spans(docs)
+
+
+def _sql_bio() -> str:
+    """Run the identical BIO decode driver-side (same NumPy, same seeded
+    weights, same shared tokenizer) and render the expected spans as a
+    VALUES table."""
+    import numpy as np
+
+    from .kg.bio import BioTagger
+    from .oracle.kg_oracle import latest_corpus
+
+    tagger = BioTagger()
+    rows = []
+    for d in latest_corpus(20):
+        toks = d["tokens"]
+        brks = [t.brk for t in toks]
+        bounds, start = [], 0
+        for i in range(1, len(brks)):
+            if brks[i] >= 2:
+                bounds.append((start, i))
+                start = i
+        if brks:
+            bounds.append((start, len(brks)))
+        for s_idx, (sb, se) in enumerate(bounds):
+            fps = np.array([t.fp for t in toks[sb:se]], dtype=np.uint64)
+            for b, e, typ, score in tagger.decode(fps):
+                rows.append(
+                    (d["repo"], d["path"], d["commit"], s_idx, sb + b, sb + e,
+                     typ, round(score, 6))
+                )
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {s}, {b}, {e}, {typ}, {score!r})"
+        for r, p, c, s, b, e, typ, score in sorted(rows)
+    )
+    return f"""
+SELECT repo, path, "commit", sentence::INT AS sentence, begin::INT AS begin,
+       "end"::INT AS "end", type::INT AS type, score::DOUBLE AS score
+FROM (VALUES {values})
+  AS t(repo, path, "commit", sentence, begin, "end", type, score)
+"""
+
+
 def _sql_biaffine() -> str:
     """Run the identical scoring math driver-side (same NumPy, same seeded
     weights, same shared tokenizer) and render the expected spans as a
@@ -1800,6 +1855,7 @@ def queries():
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "kg_biaffine_spans": q_kg_biaffine_spans,
+        "kg_bio_spans": q_kg_bio_spans,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_lex": q_kg_lex,
@@ -1855,6 +1911,7 @@ def oracle_sql():
         "emb_ann_lsh": _sql_emb_ann_lsh(),
         "emb_ann_ivf": _SQL_ANN_IVF,
         "kg_biaffine_spans": _sql_biaffine(),
+        "kg_bio_spans": _sql_bio(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold
         "kg_stream_triples": _sql_kg_triples(),

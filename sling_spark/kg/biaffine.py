@@ -35,6 +35,23 @@ def _rng(tag: str) -> np.random.Generator:
     return np.random.default_rng(abs(hash_seed(tag)) % (2**63))
 
 
+def token_encodings(fps: np.ndarray, dim: int = DIM) -> np.ndarray:
+    """Shared token 'encodings': deterministic pseudo-embeddings from
+    token fingerprints with a +/-1 neighborhood mix (the lexical bi-LSTM
+    stand-in: every encoding sees local context). SHARED by the decoder
+    analogs — biaffine span scoring and BIO tagging read the same
+    encodings, exactly as the reference decoders share the lexical
+    encoder channel (sling/nlp/parser/parser-codec.cc encodings)."""
+    # hash-derived embedding: fp -> dim floats in [-1, 1)
+    mults = (np.arange(1, dim + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    h = (fps[:, None].astype(np.uint64) * mults[None, :]) >> np.uint64(40)
+    emb = (h % np.uint64(2048)).astype(np.float32) / 1024.0 - 1.0
+    # local context mix
+    left = np.vstack([emb[:1], emb[:-1]])
+    right = np.vstack([emb[1:], emb[-1:]])
+    return emb + 0.5 * left + 0.5 * right
+
+
 def hash_seed(tag: str) -> int:
     import hashlib
 
@@ -59,17 +76,7 @@ class BiaffineScorer:
         ) / proj
 
     def embed(self, fps: np.ndarray) -> np.ndarray:
-        """Token 'encodings': deterministic pseudo-embeddings from token
-        fingerprints with a +/-1 neighborhood mix (the bi-LSTM stand-in:
-        every encoding sees local context)."""
-        # hash-derived embedding: fp -> dim floats in [-1, 1)
-        mults = (np.arange(1, self.dim + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        h = (fps[:, None].astype(np.uint64) * mults[None, :]) >> np.uint64(40)
-        emb = (h % np.uint64(2048)).astype(np.float32) / 1024.0 - 1.0
-        # local context mix
-        left = np.vstack([emb[:1], emb[:-1]])
-        right = np.vstack([emb[1:], emb[-1:]])
-        return emb + 0.5 * left + 0.5 * right
+        return token_encodings(fps, self.dim)
 
     def score_sentence(self, fps: np.ndarray) -> list[tuple[int, int, int, float]]:
         """All (begin, end, label, score) for spans up to max_span —

@@ -189,6 +189,59 @@ def test_biaffine_batched_scoring(spark):
     assert all(r["end"] > r["begin"] for r in rows)
 
 
+def test_bio_decoder_constrained_decode(spark):
+    """BIO decoder analog (reference bio-decoder.cc:224-289): the tag
+    sequence must satisfy CanFollow (spans are SINGLE or BEGIN..END of
+    one type), decode is deterministic, and the Spark path matches the
+    per-sentence NumPy decode exactly."""
+    import numpy as np
+
+    from sling_spark.kg.bio import BioTagger, bio_spans
+    from sling_spark.kg.documents import build_documents
+    from sling_spark.sources.corpus import corpus_df
+
+    tagger = BioTagger()
+    fps = np.array([11, 22, 33, 44, 55, 66, 77], dtype=np.uint64)
+    a = tagger.decode(fps)
+    assert a == tagger.decode(fps)  # deterministic
+    # spans are well-formed and non-overlapping, types in range
+    last_end = 0
+    for b, e, typ, _s in a:
+        assert 0 <= b < e <= len(fps) and b >= last_end
+        assert 0 <= typ < tagger.n_types
+        last_end = e
+    # the shared-encodings contract: bio logits read the SAME encodings
+    # as the biaffine scorer
+    from sling_spark.kg.biaffine import BiaffineScorer, token_encodings
+
+    assert np.allclose(BiaffineScorer().embed(fps), token_encodings(fps))
+    # spark path == driver decode on the same documents
+    docs = build_documents(corpus_df(spark, 6, partitions=2), layout="tokens")
+    got = {
+        (r["repo"], r["path"], r["sentence"], r["begin"], r["end"], r["type"],
+         r["score"])
+        for r in bio_spans(docs, tagger).collect()
+    }
+    expected = set()
+    for r in docs.select("repo", "path", "commit", "t_brk", "t_fp").collect():
+        brks, all_fps = list(r["t_brk"]), list(r["t_fp"])
+        bounds, start = [], 0
+        for i in range(1, len(brks)):
+            if brks[i] >= 2:
+                bounds.append((start, i))
+                start = i
+        if brks:
+            bounds.append((start, len(brks)))
+        for s_idx, (sb, se) in enumerate(bounds):
+            sf = np.array(all_fps[sb:se], dtype=np.uint64)
+            for b, e, typ, score in tagger.decode(sf):
+                expected.add(
+                    (r["repo"], r["path"], s_idx, sb + b, sb + e, typ,
+                     round(score, 6))
+                )
+    assert got == expected and len(got) > 0
+
+
 def test_document_prologue(spark):
     """filters.cc DocumentPrologueAnnotator: content truncated at the
     first heading; heading-less documents pass through unchanged."""
