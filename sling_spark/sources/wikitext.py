@@ -454,6 +454,98 @@ def _plain(nodes, by_parent, nid: int, text: str) -> str:
     return "".join(parts)
 
 
+def extract_emphasis(
+    nodes: list[Node],
+    text: str,
+    max_length: int = 20,
+    intro_max_offset: int = 5,
+) -> list[tuple[str, str, bool]]:
+    """Bold/italic phrase extraction — the EmphasisAnnotator +
+    IntroAnnotator analogs over the wikitext AST (reference
+    sling/nlp/silver/mentions.cc:185-252; limits mentions.h:144,163-166:
+    phrases longer than ``max_length`` words are skipped, the intro
+    phrase must begin within the first ``intro_max_offset`` words).
+
+    Walks the tree in document order tracking font state (FONT nodes:
+    param 2 = italic toggle, 3/4 = bold toggle, 5 = both): the plain
+    text (TEXT pieces + link anchors; templates/refs/comments dropped)
+    between a begin marker and its matching end marker — or the block
+    end, as the reference scans to the chart end — is the emphasized
+    phrase. The FIRST bold phrase that starts before any heading and
+    within ``intro_max_offset`` words of the article start is flagged
+    ``intro`` (IntroAnnotator: the bolded first-sentence phrase names
+    the page topic). Returns (phrase, style, intro) tuples in order."""
+    by_parent: dict[int, list[Node]] = {}
+    for n in nodes:
+        by_parent.setdefault(n.parent, []).append(n)
+    out: list[tuple[str, str, bool]] = []
+    st: dict = {"bold": None, "italic": None, "words": 0,
+                "heading": False, "intro_used": False}
+
+    def begin(style: str) -> None:
+        st[style] = ([], st["words"], not st["heading"])
+
+    def close(style: str) -> None:
+        pieces, start_words, pre_heading = st[style]
+        st[style] = None
+        phrase = re.sub(r"\s+", " ", "".join(pieces)).strip()
+        if not phrase or len(phrase.split()) > max_length:
+            return
+        intro = (
+            style == "bold"
+            and pre_heading
+            and start_words < intro_max_offset
+            and not st["intro_used"]
+        )
+        if intro:
+            st["intro_used"] = True
+        out.append((phrase, style, intro))
+
+    def add_text(s: str) -> None:
+        for style in ("bold", "italic"):
+            if st[style] is not None:
+                st[style][0].append(s)
+        st["words"] += len(s.split())
+
+    def walk(nid: int) -> None:
+        for c in by_parent.get(nid, []):
+            t = c.type
+            if t == TEXT:
+                add_text(text[c.begin:c.end])
+            elif t == FONT:
+                q = c.param
+                if q >= 5:
+                    toggles = ("bold", "italic")
+                elif q >= 3:
+                    toggles = ("bold",)
+                else:
+                    toggles = ("italic",)
+                for style in toggles:
+                    close(style) if st[style] is not None else begin(style)
+            elif t == HEADING:
+                st["heading"] = True
+                for style in ("bold", "italic"):  # block boundary closes
+                    if st[style] is not None:
+                        close(style)
+                walk(c.id)
+            elif t == LINK:
+                args = [a for a in by_parent.get(c.id, []) if a.type == ARG]
+                if args:
+                    walk(args[0].id)
+                else:
+                    add_text(c.name)
+            elif t in (ARG, LIST_ITEM, INDENT, TERM, CELL, HEADER, CAPTION,
+                       ROW, TABLE):
+                walk(c.id)
+            # templates, refs, comments, media, categories: dropped
+
+    walk(0)
+    for style in ("bold", "italic"):  # unclosed at EOF → scan-to-end
+        if st[style] is not None:
+            close(style)
+    return out
+
+
 def extract_plain_text(text: str, nodes: list[Node] | None = None) -> str:
     """Markup-stripped article text: templates/refs/comments/media/
     categories dropped, links replaced by their anchor text, font
@@ -487,7 +579,8 @@ ARTICLE_SCHEMA = (
     "links array<struct<target string, anchor string>>, "
     "categories array<string>, "
     "templates array<struct<name string, args map<string,string>>>, "
-    "headings array<struct<level int, text string>>"
+    "headings array<struct<level int, text string>>, "
+    "emphasis array<struct<phrase string, style string, intro boolean>>"
 )
 
 
@@ -519,12 +612,16 @@ def parse_articles(articles, title_col: str = "title", text_col: str = "wikitext
                             {"level": lv, "text": tx}
                             for lv, tx in extract_headings(nodes)
                         ],
+                        "emphasis": [
+                            {"phrase": ph, "style": sty, "intro": intro}
+                            for ph, sty, intro in extract_emphasis(nodes, wt)
+                        ],
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["title", "plain", "links", "categories",
-                         "templates", "headings"],
+                         "templates", "headings", "emphasis"],
             )
 
     return articles.select(title_col, text_col).mapInPandas(
@@ -583,6 +680,68 @@ def wikipedia_alias_rows(parsed, mapping, lang: str = "en"):
             )
 
     return resolved.select("qid", "anchor", "count").mapInPandas(
+        finish,
+        schema="entity string, alias string, fp long, count int, form int, sources int",
+    )
+
+
+def wikipedia_intro_alias_rows(parsed, mapping, lang: str = "en"):
+    """Intro-phrase alias emission — the IntroAnnotator's topic binding
+    re-expressed for the alias table (reference
+    sling/nlp/silver/mentions.cc:218-252: the bolded span in the first
+    sentence evokes the page's own topic item). Each article's
+    intro-flagged bold phrase becomes an alias row for the article's OWN
+    QID (title resolved through the wikipedia_mapping dimension, same
+    normalization as link targets), so later plain-text mentions of the
+    bolded name resolve to the topic. One explode + one broadcast join +
+    one Arrow pass; counts are 1 per article (the phrase was asserted
+    once, by the article itself).
+
+    Source class is SRC_ALIAS (trusted): the reference IntroAnnotator
+    binds the topic DIRECTLY on the chart, bypassing anchor-count
+    thresholds entirely — the article declaring its own bolded name is
+    authoritative, so the alias-table re-expression must survive the
+    selector the same way curated aliases do (aliases.cc:557-561 only
+    thresholds PURE corpus anchors)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..sources.kb import SRC_ALIAS
+    from ..sources.wikidata import wiki_title_norm
+
+    intros = (
+        parsed.select("title", F.explode("emphasis").alias("em"))
+        .filter(F.col("em.intro"))
+        .select("title", F.col("em.phrase").alias("anchor"))
+    )
+    articles = mapping.filter(F.col("kind") == "article").select(
+        F.col("wiki_id"), F.col("qid")
+    )
+    resolved = intros.withColumn(
+        "wiki_id", F.concat(F.lit(f"/wp/{lang}/"), wiki_title_norm(F.col("title")))
+    ).join(F.broadcast(articles), on="wiki_id")
+
+    def finish(batches):
+        from ..functions.tokenize import phrase_fingerprint, phrase_form
+
+        for pdf in batches:
+            rows = []
+            for qid, anchor in zip(pdf["qid"], pdf["anchor"]):
+                rows.append(
+                    {
+                        "entity": qid,
+                        "alias": anchor,
+                        "fp": phrase_fingerprint(anchor),
+                        "count": 1,
+                        "form": phrase_form(anchor),
+                        "sources": SRC_ALIAS,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["entity", "alias", "fp", "count", "form", "sources"]
+            )
+
+    return resolved.select("qid", "anchor").mapInPandas(
         finish,
         schema="entity string, alias string, fp long, count int, form int, sources int",
     )

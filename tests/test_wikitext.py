@@ -139,3 +139,92 @@ def test_spark_parse_articles_and_anchor_aliases(spark):
     assert aliases[("Q1", "under")] == (1, 4)
     assert aliases[("Q1", "hist")] == (1, 4)
     parsed.unpersist()
+
+
+def test_extract_emphasis_and_intro():
+    """EmphasisAnnotator/IntroAnnotator analogs (mentions.cc:185-252):
+    bold/italic phrases come off the FONT nodes; the first bold phrase
+    within 5 words of the article start is the intro (topic) phrase."""
+    from sling_spark.sources.wikitext import extract_emphasis
+
+    nodes = parse_wikitext(ARTICLE)
+    ems = extract_emphasis(nodes, ARTICLE)
+    assert ("Apache Spark", "bold", True) in ems
+    # only ONE intro phrase per article
+    assert sum(1 for _p, _s, intro in ems if intro) == 1
+
+    # italic, late bold (not intro), heading boundary, length cap
+    txt = (
+        "plain lead-in words before ''an italic phrase'' here.\n"
+        "Later '''Not The Topic''' bolded.\n"
+        "== Sec ==\n'''post-heading bold'''\n"
+        "'''" + " ".join(f"w{i}" for i in range(25)) + "'''\n"
+    )
+    ems2 = extract_emphasis(parse_wikitext(txt), txt)
+    assert ("an italic phrase", "italic", False) in ems2
+    assert ("Not The Topic", "bold", False) in ems2  # >5 words in
+    assert ("post-heading bold", "bold", False) in ems2
+    assert not any(p.startswith("w0 ") for p, _s, _i in ems2)  # len cap
+
+    # bold phrase containing a link contributes the anchor text
+    txt3 = "'''The [[Big Thing|Thing]] Project''' is fine.\n"
+    ems3 = extract_emphasis(parse_wikitext(txt3), txt3)
+    assert ("The Thing Project", "bold", True) in ems3
+
+
+def test_intro_alias_resolves(spark):
+    """A bolded intro phrase becomes an alias row for the article's own
+    QID (wikipedia_intro_alias_rows) and RESOLVES: merged into the
+    alias table, a plain-text mention of the bolded name annotates to
+    the topic entity."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sling_spark.sources.wikidata import (
+        wikidata_items,
+        wikidata_sitelinks,
+        wikipedia_mapping,
+    )
+    from sling_spark.sources.wikitext import (
+        parse_articles,
+        wikipedia_intro_alias_rows,
+    )
+
+    art = spark.createDataFrame(
+        [("Apache Spark",
+          "'''Sparky Engine''' is an engine.\nMore text here.\n")],
+        "title string, wikitext string",
+    )
+    parsed = parse_articles(art)
+    dump = spark.createDataFrame(
+        [(json.dumps({
+            "id": "Q77",
+            "labels": {"en": {"language": "en", "value": "Apache Spark"}},
+            "claims": {},
+            "sitelinks": {"enwiki": {"site": "enwiki", "title": "Apache Spark"}},
+        }),)],
+        "value string",
+    )
+    items, _ = wikidata_items(dump)
+    mapping = wikipedia_mapping(items, wikidata_sitelinks(dump))
+    alias_rows = wikipedia_intro_alias_rows(parsed, mapping)
+    got = [(r["entity"], r["alias"], r["count"]) for r in alias_rows.collect()]
+    assert got == [("Q77", "Sparky Engine", 1)]
+
+    # resolution: merge the intro alias into the seed alias table and
+    # annotate a text mentioning the bolded name
+    from sling_spark.kg.assets import build_assets, seed_dataframes
+    from sling_spark.kg.documents import doc_stats, latest_with_sha
+    from sling_spark.kg.mentions import detect_mentions
+
+    seed = seed_dataframes(spark)
+    seed = dict(seed, aliases=seed["aliases"].unionByName(alias_rows))
+    probe = spark.createDataFrame(
+        [("r", "p", "c", "python", "powered by Sparky Engine internally")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    docs = latest_with_sha(probe)
+    assets_bc, _ = build_assets(spark, doc_stats(docs), seed)
+    ents = {m["entity"] for m in detect_mentions(docs, assets_bc).collect()}
+    assert "Q77" in ents
