@@ -205,9 +205,6 @@ def _scan_abbreviations(
     se: int,
     phrase_table,
     abbrev_map: dict[str, int],
-    scan_defs: bool = True,
-    words_arr: "np.ndarray | None" = None,
-    occ_index: "dict[str, np.ndarray] | None" = None,
 ) -> list[tuple[int, int, int, int, str]]:
     """AbbreviationAnnotator (reference mentions.cc:1115-1200) for one
     sentence: find ``PHRASE ( ABBR )`` where ABBR is an all-caps token
@@ -221,18 +218,13 @@ def _scan_abbreviations(
     mentions resolve like the full phrase. Added candidates use
     CASE_NONE (no case penalty), sentence-relative coordinates.
 
-    ``scan_defs=False`` skips the ``PHRASE ( ABBR )`` definition scan
-    (the caller proved the sentence has no usable '(' token via the
-    batch-level paren mask — the overwhelming majority); the
-    occurrence re-scan still runs when the doc-level map is non-empty.
-    ``words_arr``/``occ_index`` enable the vectorized occurrence path:
-    per registered abbreviation word, token positions come from ONE
-    np.nonzero over the document (cached in ``occ_index``) +
-    searchsorted per sentence, replacing the per-token dict probe.
-    Output is order-insensitive downstream (_solve_cover sorts), and
-    parity with the scalar loop is oracle-tested."""
+    The per-token definition loop is kept UNCONDITIONAL by measurement:
+    gating it behind a '(' pre-mask (vectorized or list.index) was
+    A/B-tested and lost — the early `words[b+1] != "("` continue makes
+    the plain loop ~57µs/doc total, cheaper than any per-sentence mask
+    setup (BENCH/BASELINE.md §5, round 3)."""
     extra: list[tuple[int, int, int, int, str]] = []
-    for b in range(sb, se - 3) if scan_defs else ():
+    for b in range(sb, se - 3):
         if words[b + 1] != "(" or words[b + 3] != ")":
             continue
         ab = words[b + 2]
@@ -275,24 +267,10 @@ def _scan_abbreviations(
         if pfp in phrase_table:
             extra.append((pb - sb, pe - sb, pfp, CASE_NONE, ""))
     if abbrev_map:
-        if words_arr is not None and occ_index is not None:
-            for ab, pfp in abbrev_map.items():
-                if pfp not in phrase_table:
-                    continue
-                pos = occ_index.get(ab)
-                if pos is None:
-                    pos = np.nonzero(words_arr == ab)[0]
-                    occ_index[ab] = pos
-                k0 = int(np.searchsorted(pos, sb))
-                k1 = int(np.searchsorted(pos, se))
-                for k in range(k0, k1):
-                    i = int(pos[k])
-                    extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
-        else:
-            for i in range(sb, se):
-                pfp = abbrev_map.get(words[i])
-                if pfp is not None and pfp in phrase_table:
-                    extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
+        for i in range(sb, se):
+            pfp = abbrev_map.get(words[i])
+            if pfp is not None and pfp in phrase_table:
+                extra.append((i - sb, i - sb + 1, pfp, CASE_NONE, ""))
     return extra
 
 
@@ -699,14 +677,6 @@ def _annotate_from_candidates(
     else:
         cuts = [0] * (len(bounds) + 1)
 
-    # abbreviation pre-scan support: ONE vectorized pass finds every '('
-    # position in the document, so the per-token definition scan runs
-    # only on the rare sentences that can contain `PHRASE ( ABBR )`;
-    # occurrence positions per registered abbreviation word are likewise
-    # found once per document (lazily) instead of per-token per-sentence.
-    words_arr = np.array(words, dtype=object) if words else np.zeros(0, object)
-    paren_pos = np.nonzero(words_arr == "(")[0]
-    occ_index: dict[str, np.ndarray] = {}
 
     for s_idx, (sb, se) in enumerate(bounds):
         n = se - sb
@@ -715,15 +685,16 @@ def _annotate_from_candidates(
             (cb_l[k] - sb, ce_l[k] - sb, cfp_l[k], cform_l[k], clit[k])
             for k in range(lo, hi)
         ] if hi > lo else []
-        # '(' must sit at positions sb+1..se-3 for a definition to fit
-        p0 = int(np.searchsorted(paren_pos, sb + 1))
-        scan_defs = p0 < paren_pos.size and paren_pos[p0] <= se - 3
-        if scan_defs or abbrev_map:
-            sent_cands += _scan_abbreviations(
-                words, brks, fps, forms, sb, se, phrase_table, abbrev_map,
-                scan_defs=bool(scan_defs), words_arr=words_arr,
-                occ_index=occ_index,
-            )
+        # The definition scan runs unconditionally: A/B-measured against
+        # both a vectorized '(' pre-mask (np object array + nonzero) and
+        # a C-level list.index probe, the plain loop is FASTEST at this
+        # corpus shape — its `words[b+1] != "("` early-continue costs
+        # ~57µs/doc total (0.03% of annotation wall; BENCH/BASELINE.md
+        # §5), while both pre-masks add per-doc/per-sentence setup that
+        # exceeds the skipped work.
+        sent_cands += _scan_abbreviations(
+            words, brks, fps, forms, sb, se, phrase_table, abbrev_map
+        )
         spans = _solve_cover(sent_cands, n) if sent_cands else []
 
         # ---- 4: resolve, left to right --------------------------------
