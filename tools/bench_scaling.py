@@ -64,11 +64,37 @@ def run_once(cores: int, n_files: int) -> dict:
     }
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_control(cores: int, work: int = 40_000_000) -> float:
+    """Pure-CPU delivery control (no Spark): ``cores`` concurrent Python
+    busy-loops each doing FIXED work. On hardware that truly delivers
+    ``cores`` CPUs the wall time is flat in fan-out, so
+    T_low / T_high is the pair's delivery ceiling — any pipeline
+    efficiency must be read against it (co-tenant host; see
+    BENCH/BASELINE.md §2)."""
+    from multiprocessing import Pool
+
+    t0 = time.time()
+    with Pool(cores) as p:
+        p.map(_burn, [work] * cores)
+    return round(time.time() - t0, 2)
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
+    # CPU-delivery control ADJACENT to the measured legs, recorded in
+    # the same file (round-2 verdict item 8)
+    ctl_lo = cpu_control(low)
+    ctl_hi = cpu_control(high)
     lo = run_once(low, n_files)
     hi = run_once(high, n_files)
     speedup = lo["wall_sec"] / hi["wall_sec"]
@@ -81,6 +107,13 @@ def main() -> None:
         "high": hi,
         "speedup": round(speedup, 3),
         "ratio": high / low,
+        "cpu_control": {
+            "low_cores": low,
+            "high_cores": high,
+            "low_wall_sec": ctl_lo,
+            "high_wall_sec": ctl_hi,
+            "delivery_efficiency": round(ctl_lo / ctl_hi, 3),
+        },
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
