@@ -1442,6 +1442,63 @@ def q_kg_biaffine_spans(spark, sf_dir):
     return score_spans(docs, threshold=1.5)
 
 
+def q_kg_transitions(spark, sf_dir):
+    """Gold transition sequences (the transition-system analog,
+    SURVEY.md §2.8 — reference sling/nlp/parser/transition-generator.cc
+    :93-185 and parser-action.h:29-185): MARK/EVOKE/REFER/CONNECT/
+    ASSIGN/SHIFT action rows generated from the 40-file silver
+    annotations with the exact attention-buffer semantics. The oracle
+    twin runs the same generator over the INDEPENDENTLY-derived oracle
+    mentions/relations (themselves hash-verified by kg_mentions /
+    kg_triples), so a divergence in either the annotations or the
+    generator breaks the hash."""
+    from .kg.pipeline import run_pipeline
+    from .kg.transitions import gold_transitions
+
+    res = run_pipeline(spark, n_files=40)
+    return gold_transitions(res["mentions"], res["relations"], res["doc_stats"])
+
+
+def _sql_transitions() -> str:
+    """Run the identical generator driver-side over the independent
+    oracle's mentions/relations and render the expected action rows."""
+    from .kg.transitions import _doc_slots, generate_transitions
+
+    res = _kg_oracle_40()
+    n_tokens = {
+        (d["repo"], d["path"], d["commit"]): len(d["tokens"])
+        for d in res["documents"]
+    }
+    spans_by: dict[tuple, set] = {}
+    for m in res["mentions"]:
+        k = (m["repo"], m["path"], m["commit"])
+        spans_by.setdefault(k, set()).add((m["begin"], m["end"], m["entity"]))
+    rel_by: dict[tuple, list] = {}
+    for r in res["relations"]:
+        k = (r["repo"], r["path"], r["commit"])
+        rel_by.setdefault(k, []).append(r)
+    rows = []
+    for k in sorted(spans_by):
+        actions = generate_transitions(
+            sorted(spans_by[k]), _doc_slots(rel_by.get(k, [])), n_tokens[k]
+        )
+        rows.extend(
+            (k[0], k[1], k[2], i, a, ln, s, tg, ro, lb)
+            for i, (a, ln, s, tg, ro, lb) in enumerate(actions)
+        )
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {i}, "
+        f"{_sql_quote(a)}, {ln}, {s}, {tg}, {_sql_quote(ro)}, {_sql_quote(lb)})"
+        for r, p, c, i, a, ln, s, tg, ro, lb in rows
+    )
+    return f"""
+SELECT repo, path, "commit", idx::INT AS idx, action, length::INT AS length,
+       source::INT AS source, target::INT AS target, role, label
+FROM (VALUES {values})
+  AS t(repo, path, "commit", idx, action, length, source, target, role, label)
+"""
+
+
 def q_kg_bio_spans(spark, sf_dir):
     """Batched BIO sequence-tagging decode over the synthetic corpus
     (the bio-decoder analog, SURVEY.md §2.8 — reference
@@ -1856,6 +1913,7 @@ def queries():
         "emb_ann_ivf": q_emb_ann_ivf,
         "kg_biaffine_spans": q_kg_biaffine_spans,
         "kg_bio_spans": q_kg_bio_spans,
+        "kg_transitions": q_kg_transitions,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_lex": q_kg_lex,
@@ -1912,6 +1970,7 @@ def oracle_sql():
         "emb_ann_ivf": _SQL_ANN_IVF,
         "kg_biaffine_spans": _sql_biaffine(),
         "kg_bio_spans": _sql_bio(),
+        "kg_transitions": _sql_transitions(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold
         "kg_stream_triples": _sql_kg_triples(),

@@ -1,0 +1,213 @@
+"""Gold transition generation — the transition-system analog
+(SURVEY.md §2.8).
+
+Reference semantics: the caspar/knolex decoders are trained on GOLD
+ACTION SEQUENCES produced by the transition generator from annotated
+documents — the action inventory and field layout are
+sling/nlp/parser/parser-action.h:29-185 (SHIFT / MARK / EVOKE / REFER
+/ CONNECT / ASSIGN with length/source/target/role/label fields), and
+the generation algorithm is transition-generator.cc:93-185: per token,
+MARK for every multi-token span starting there; for every span ending
+there, REFER through the attention buffer when the frame is already
+attended (moving it to the center) else EVOKE (new center) followed by
+the frame's slots — CONNECT when the slot value's frame is in
+attention (value moves to position 1), DEFERRED CONNECT when the value
+frame exists but is not yet attended (emitted right after that frame's
+EVOKE, source moves to position 1), ASSIGN otherwise; then SHIFT.
+This module reproduces that generator exactly; the learned
+transition-scoring networks (caspar-decoder.cc's FF cascade) are NOT
+reproduced — the generator IS the data-producing semantics the
+reference trains from, and stays the documented scope boundary.
+
+Frame-graph mapping for this engine's silver annotations:
+
+- one frame per (document, entity): the first mention EVOKEs it with
+  ``label = entity`` (the resolved item is the frame type analog),
+  later mentions — including anaphors — REFER;
+- frame slots = the document's extracted relations with the entity as
+  subject, deduped and sorted by (role, value) for determinism;
+- a slot value mentioned SOMEWHERE in the document is a frame:
+  CONNECT if already attended, deferred CONNECT otherwise (the
+  anonymous-frame deferral analog — literal date/number frames
+  participate, so a P6 release-date relation CONNECTs to the date
+  span's frame exactly like the reference's date frames);
+- other values (out-of-document items, unmentioned literals) ASSIGN.
+
+Execution shape: the per-document generator is pure sequential Python
+by necessity (the attention buffer is an order-dependent automaton —
+same boundary as the resolver, SURVEY.md §4 risk #4) but documents are
+independent, so the Spark op runs it as one cogrouped-pandas pass
+keyed by document: mentions ⟂ relations co-partitioned in a single
+shuffle, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRANSITIONS_SCHEMA = (
+    "repo string, path string, commit string, idx int, action string, "
+    "length int, source int, target int, role string, label string"
+)
+
+SHIFT, MARK, EVOKE, REFER, CONNECT, ASSIGN = (
+    "SHIFT", "MARK", "EVOKE", "REFER", "CONNECT", "ASSIGN"
+)
+
+
+def generate_transitions(
+    spans: list[tuple[int, int, str]],
+    slots: dict[str, list[tuple[str, str]]],
+    n_tokens: int,
+) -> list[tuple[str, int, int, int, str, str]]:
+    """Gold action sequence for one document (transition-generator.cc
+    Generate, :93-185). ``spans``: disjoint (begin, end, entity)
+    mention spans; ``slots``: entity → [(role, value)] sorted;
+    ``n_tokens``: document length (one SHIFT per token). Returns
+    (action, length, source, target, role, label) tuples."""
+    attention: list[str] = []  # last element = center of attention
+
+    def index(h: str) -> int:
+        # attention index: 0 = center (slot() in transition-generator.cc)
+        n = len(attention)
+        for i in range(n):
+            if attention[n - 1 - i] == h:
+                return i
+        return -1
+
+    def move(idx: int, pos: int) -> None:
+        # move toward the center (Attention::move)
+        if idx == pos:
+            return
+        n = len(attention)
+        start = n - idx - 1
+        end = n - pos - 1
+        h = attention[start]
+        for i in range(start, end):
+            attention[i] = attention[i + 1]
+        attention[end] = h
+
+    starts: dict[int, list[tuple[int, int, str]]] = {}
+    ends: dict[int, list[tuple[int, int, str]]] = {}
+    mentioned = {s[2] for s in spans}
+    for sp in sorted(spans):
+        starts.setdefault(sp[0], []).append(sp)
+        ends.setdefault(sp[1] - 1, []).append(sp)
+
+    out: list[tuple[str, int, int, int, str, str]] = []
+    deferred: list[tuple[str, str, str]] = []  # (source, role, target)
+    for t in range(n_tokens):
+        for b, e, _ent in starts.get(t, ()):
+            if e - b > 1:  # multi-token spans push the mark stack
+                out.append((MARK, 0, 0, 0, "", ""))
+        for b, e, ent in ends.get(t, ()):
+            length = e - b
+            if length > 1:
+                length = 0  # zero-length EVOKE/REFER uses the mark stack
+            i = index(ent)
+            if i != -1:
+                out.append((REFER, length, 0, i, "", ""))
+                move(i, 0)
+                continue
+            out.append((EVOKE, length, 0, 0, "", ent))
+            attention.append(ent)
+            # deferred CONNECTs whose target just got evoked (emitted in
+            # insertion order, erase-as-you-scan like the reference)
+            remaining = []
+            for src, role, tgt in deferred:
+                if tgt == ent:
+                    si = index(src)
+                    out.append((CONNECT, 0, si, 0, role, ""))
+                    move(si, 1)
+                else:
+                    remaining.append((src, role, tgt))
+            deferred = remaining
+            # slots of the newly evoked frame
+            for role, value in slots.get(ent, ()):
+                j = index(value)
+                if j != -1:
+                    out.append((CONNECT, 0, 0, j, role, ""))
+                    move(j, 1)
+                elif value in mentioned:
+                    deferred.append((ent, role, value))
+                else:
+                    out.append((ASSIGN, 0, 0, 0, role, value))
+        out.append((SHIFT, 0, 0, 0, "", ""))
+    return out
+
+
+def _doc_slots(rel_rows: list[dict]) -> dict[str, list[tuple[str, str]]]:
+    """Deduped, (role, value)-sorted slot lists per subject entity."""
+    by_subj: dict[str, set[tuple[str, str]]] = {}
+    for r in rel_rows:
+        by_subj.setdefault(r["subj"], set()).add((r["pred"], r["obj"]))
+    return {s: sorted(v) for s, v in by_subj.items()}
+
+
+def gold_transitions(
+    mentions: DataFrame, relations: DataFrame, doc_stats: DataFrame
+) -> DataFrame:
+    """Document-keyed gold action sequences: (doc, idx, action, length,
+    source, target, role, label) rows. One cogrouped-pandas pass —
+    mentions and relations shuffle ONCE on the document key; n_tokens
+    rides along on the mentions side (broadcast-sized doc_stats join).
+    Documents with no mentions emit nothing (transitions exist for
+    annotated parts, as in the reference's document-part Generate)."""
+    key = ["repo", "path", "commit"]
+    # rename the stats-side keys: mentions/doc_stats share lineage (both
+    # derive from the documents scan), so a bare equi-join is ambiguous
+    ds = doc_stats.select(
+        F.col("repo").alias("_sr"), F.col("path").alias("_sp"),
+        F.col("commit").alias("_sc"), "n_tokens",
+    )
+    m = (
+        mentions.select(*key, "begin", "end", "entity")
+        .join(
+            F.broadcast(ds),
+            (F.col("repo") == F.col("_sr"))
+            & (F.col("path") == F.col("_sp"))
+            & (F.col("commit") == F.col("_sc")),
+        )
+        .drop("_sr", "_sp", "_sc")
+    )
+    # relations shares the annotations lineage with mentions, so its
+    # grouping keys are renamed too (cogroup matches keys by position)
+    r = relations.select(
+        F.col("repo").alias("_rr"), F.col("path").alias("_rp"),
+        F.col("commit").alias("_rc"), "subj", "pred", "obj",
+    )
+
+    def gen(mk, mpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if mpdf.empty:
+            return pd.DataFrame(
+                columns=["repo", "path", "commit", "idx", "action",
+                         "length", "source", "target", "role", "label"]
+            )
+        repo, path, commit = mk
+        spans = sorted(
+            {(int(b), int(e), ent)
+             for b, e, ent in zip(mpdf["begin"], mpdf["end"], mpdf["entity"])}
+        )
+        slots = _doc_slots(rpdf.to_dict("records")) if not rpdf.empty else {}
+        n_tokens = int(mpdf["n_tokens"].iloc[0])
+        rows = [
+            {"repo": repo, "path": path, "commit": commit, "idx": i,
+             "action": a, "length": ln, "source": s, "target": tg,
+             "role": ro, "label": lb}
+            for i, (a, ln, s, tg, ro, lb) in enumerate(
+                generate_transitions(spans, slots, n_tokens)
+            )
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["repo", "path", "commit", "idx", "action",
+                     "length", "source", "target", "role", "label"],
+        )
+
+    return (
+        m.groupBy(*key)
+        .cogroup(r.groupBy("_rr", "_rp", "_rc"))
+        .applyInPandas(gen, schema=TRANSITIONS_SCHEMA)
+    )

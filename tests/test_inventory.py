@@ -259,3 +259,40 @@ def test_document_prologue(spark):
     assert out["a.md"] == "intro text\nmore intro"
     assert out["b.md"] == "no headings at all\njust text"
     assert out["c.md"] == "#!shebang-ish"
+
+
+def test_gold_transition_generator():
+    """transition-generator.cc semantics on a hand-checked fixture:
+    MARK before multi-token spans, EVOKE with slot CONNECT/ASSIGN,
+    REFER through the attention buffer with center moves, and the
+    deferred CONNECT emitted right after its target's EVOKE."""
+    from sling_spark.kg.transitions import generate_transitions
+
+    # tokens: 0..9. Spans: A=[0,2) multi-token, B=[3,4), A again=[5,6),
+    # C=[7,9) multi-token. Slots: A -P1-> B (B evoked AFTER A: deferred),
+    # A -P2-> X (never mentioned: ASSIGN), B -P3-> A (A in attention:
+    # CONNECT at evoke time).
+    spans = [(0, 2, "A"), (3, 4, "B"), (5, 6, "A"), (7, 9, "C")]
+    slots = {"A": [("P1", "B"), ("P2", "X")], "B": [("P3", "A")]}
+    got = generate_transitions(spans, slots, 10)
+    assert got == [
+        ("MARK", 0, 0, 0, "", ""),          # t=0: A is multi-token
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("EVOKE", 0, 0, 0, "", "A"),        # t=1: A ends; len>1 -> 0
+        ("ASSIGN", 0, 0, 0, "P2", "X"),     # X unmentioned
+        ("SHIFT", 0, 0, 0, "", ""),         # (P1->B deferred)
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("EVOKE", 1, 0, 0, "", "B"),        # t=3: B evoked
+        ("CONNECT", 0, 1, 0, "P1", ""),     # deferred A-P1->B: A at idx 1
+        ("CONNECT", 0, 0, 1, "P3", ""),     # B-P3->A: A now at idx 1
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("REFER", 1, 0, 1, "", ""),         # t=5: A again, at index 1
+        ("SHIFT", 0, 0, 0, "", ""),         # (A moves back to center)
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("MARK", 0, 0, 0, "", ""),          # t=7: C multi-token
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("EVOKE", 0, 0, 0, "", "C"),        # t=8: C ends
+        ("SHIFT", 0, 0, 0, "", ""),
+        ("SHIFT", 0, 0, 0, "", ""),         # t=9
+    ]
