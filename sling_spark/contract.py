@@ -1247,6 +1247,57 @@ FROM (VALUES {_seed_statement_values()}) AS t(subj, pred, obj)
 """
 
 
+def q_kg_turtle(spark, sf_dir):
+    """Turtle export of the seed KB statements (frame/turtle.cc printer
+    analog): @prefix QNames, predicates grouped per subject with ';',
+    object lists with ',', N-Triples literal escaping — one block per
+    subject, deterministically sorted. Oracle: the identical grouping
+    in ANSI SQL (string_agg ORDER BY) over the statements VALUES."""
+    from .kg.materialize import triples_to_turtle
+    from .sources import kb
+
+    rows = [
+        (item["id"], st["pid"], st["object"])
+        for item in kb.entities()
+        for st in item["statements"]
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    return triples_to_turtle(df)
+
+
+def _sql_kg_turtle() -> str:
+    return f"""
+WITH t AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM (VALUES {_seed_statement_values()}) AS raw(subj, pred, obj)
+), terms AS (
+  SELECT
+    CASE WHEN regexp_matches(subj, '^[A-Za-z][A-Za-z0-9_-]*$')
+         THEN 'kb:' || subj
+         ELSE '<http://example.org/kb/' || subj || '>' END AS s,
+    CASE WHEN regexp_matches(pred, '^[A-Za-z][A-Za-z0-9_-]*$')
+         THEN 'p:' || pred
+         ELSE '<http://example.org/prop/' || pred || '>' END AS p,
+    CASE WHEN regexp_matches(obj, '^(Q\\d+$|[a-z]+:)') THEN
+      CASE WHEN regexp_matches(obj, '^[A-Za-z][A-Za-z0-9_-]*$')
+           THEN 'kb:' || obj
+           ELSE '<http://example.org/kb/' || obj || '>' END
+    ELSE '"' || replace(replace(replace(replace(replace(obj,
+           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'),
+           chr(9), '\\t') || '"' END AS o
+  FROM t
+), po AS (
+  SELECT s, p, string_agg(o, ' , ' ORDER BY o) AS objs
+  FROM (SELECT DISTINCT s, p, o FROM terms) GROUP BY s, p
+), cl AS (
+  SELECT s, p || ' ' || objs AS clause FROM po
+)
+SELECT s || ' ' || string_agg(clause, ' ;' || chr(10) || '    ' ORDER BY clause)
+       || ' .' AS block
+FROM cl GROUP BY s
+"""
+
+
 def q_doc_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs on the dup fixture, banded
     4 bands x 2 rows over the PORTABLE 8-perm minhash — the full LSH
@@ -1907,6 +1958,7 @@ def queries():
         "kg_inverse_fanin": q_kg_inverse_fanin,
         "kg_search_index": q_kg_search_index,
         "kg_ntriples": q_kg_ntriples,
+        "kg_turtle": q_kg_turtle,
         "kg_property_usage": q_kg_property_usage,
         "doc_lsh_candidates": q_doc_lsh_candidates,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -1957,6 +2009,7 @@ def oracle_sql():
         "kg_inverse_fanin": _sql_kg_inverse_fanin(),
         "kg_search_index": _sql_kg_search_index(),
         "kg_ntriples": _sql_kg_ntriples(),
+        "kg_turtle": _sql_kg_turtle(),
         "kg_property_usage": _sql_property_usage(),
         # kg_triples / kg_mentions: the annotator semantics are not
         # ANSI-SQL-expressible, so the independent pure-Python oracle

@@ -104,3 +104,58 @@ def test_ntriples_export(spark, tmp_path):
     write_ntriples(df, str(out))
     text = "".join(p.read_text() for p in out.glob("part-*"))
     assert text.count(" .") == 3
+
+
+def test_turtle_export_roundtrip(spark, tmp_path):
+    """Turtle printer (turtle.cc analog): prefixes + ';' predicate
+    groups + ',' object lists + literal escaping, and the reader
+    recovers EXACTLY the input triples through prefix expansion. Every
+    written part file is a standalone valid Turtle document."""
+    import glob
+
+    from sling_spark.kg.materialize import (
+        parse_turtle,
+        triples_to_turtle,
+        turtle_prefixes,
+        write_turtle,
+    )
+
+    rows = [
+        ("Q1", "P1", "Q2"),
+        ("Q1", "P1", "Q3"),          # object list under one predicate
+        ("Q1", "P6", "2014-02-27"),  # literal date
+        ("Q1", "P9", 'say "hi"\n\\x'),  # escaping: quote, newline, backslash
+        ("Q2", "P2", "cc:ext1"),     # ref with colon -> full IRI
+        ("i/odd id", "P1", "Q1"),    # non-PN_LOCAL subject -> full IRI
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    blocks = {r["block"] for r in triples_to_turtle(df).collect()}
+    q1 = next(b for b in blocks if b.startswith("kb:Q1 "))
+    assert "kb:Q2 , kb:Q3" in q1              # object list, sorted
+    assert " ;\n    " in q1 and q1.endswith(" .")
+    assert '"2014-02-27"' in q1
+    assert '"say \\"hi\\"\\n\\\\x"' in q1     # escaped literal
+    assert any(b.startswith("<http://example.org/kb/i/odd id>") for b in blocks)
+    assert any("<http://example.org/kb/cc:ext1>" in b for b in blocks)
+
+    # reader round-trip: parse(prefixes + blocks) == IRI-space input
+    doc = turtle_prefixes() + "\n" + "\n".join(sorted(blocks))
+    got = set(parse_turtle(doc))
+    kb_, p_ = "http://example.org/kb/", "http://example.org/prop/"
+    expected = {
+        (kb_ + s, p_ + p, kb_ + o if o in ("Q1", "Q2", "Q3", "cc:ext1") else o)
+        for s, p, o in rows
+    }
+    assert got == expected
+
+    # distributed writer: every part file is a standalone document
+    out = str(tmp_path / "ttl")
+    write_turtle(df.repartition(3), out)
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert parts
+    all_triples = []
+    for part in parts:
+        text = open(part).read()
+        assert text.startswith("@prefix kb:")
+        all_triples.extend(parse_turtle(text))
+    assert set(all_triples) == expected
