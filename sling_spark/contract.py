@@ -1510,9 +1510,43 @@ def q_kg_transitions(spark, sf_dir):
     return gold_transitions(res["mentions"], res["relations"], res["doc_stats"])
 
 
-def _sql_transitions() -> str:
-    """Run the identical generator driver-side over the independent
-    oracle's mentions/relations and render the expected action rows."""
+def q_kg_action_table(spark, sf_dir):
+    """Action vocabulary + cascade-delegate structure collected from
+    the gold sequences (the knolex cascade's non-neural skeleton,
+    reference knolex-decoder.cc:118-151 MainDelegate/EvokeDelegate/
+    ConnectDelegate + the trainer's ActionTable collection). Oracle:
+    SQL GROUP BY over the independently generated action VALUES."""
+    from .kg.pipeline import run_pipeline
+    from .kg.transitions import action_table, gold_transitions
+
+    res = run_pipeline(spark, n_files=40)
+    return action_table(
+        gold_transitions(res["mentions"], res["relations"], res["doc_stats"])
+    )
+
+
+def _sql_action_table() -> str:
+    rows = _oracle_transition_rows()
+    values = ", ".join(
+        f"({_sql_quote(a)}, {ln}, {s}, {tg}, {_sql_quote(ro)}, {_sql_quote(lb)})"
+        for _r, _p, _c, _i, a, ln, s, tg, ro, lb in rows
+    )
+    return f"""
+SELECT CASE WHEN action IN ('SHIFT', 'MARK') THEN 'main'
+            WHEN action IN ('EVOKE', 'REFER') THEN 'evoke'
+            ELSE 'connect' END AS delegate,
+       action, length::INT AS length, source::INT AS source,
+       target::INT AS target, role, label, count(*)::BIGINT AS n_uses
+FROM (VALUES {values}) AS t(action, length, source, target, role, label)
+GROUP BY action, length, source, target, role, label
+"""
+
+
+@lru_cache(maxsize=1)
+def _oracle_transition_rows():
+    """Gold action rows generated driver-side over the independent
+    oracle's mentions/relations (shared by the kg_transitions and
+    kg_action_table oracles)."""
     from .kg.transitions import _doc_slots, generate_transitions
 
     res = _kg_oracle_40()
@@ -1537,10 +1571,15 @@ def _sql_transitions() -> str:
             (k[0], k[1], k[2], i, a, ln, s, tg, ro, lb)
             for i, (a, ln, s, tg, ro, lb) in enumerate(actions)
         )
+    return rows
+
+
+def _sql_transitions() -> str:
+    """Render the driver-side gold action rows as a VALUES table."""
     values = ", ".join(
         f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {i}, "
         f"{_sql_quote(a)}, {ln}, {s}, {tg}, {_sql_quote(ro)}, {_sql_quote(lb)})"
-        for r, p, c, i, a, ln, s, tg, ro, lb in rows
+        for r, p, c, i, a, ln, s, tg, ro, lb in _oracle_transition_rows()
     )
     return f"""
 SELECT repo, path, "commit", idx::INT AS idx, action, length::INT AS length,
@@ -1966,6 +2005,7 @@ def queries():
         "kg_biaffine_spans": q_kg_biaffine_spans,
         "kg_bio_spans": q_kg_bio_spans,
         "kg_transitions": q_kg_transitions,
+        "kg_action_table": q_kg_action_table,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_lex": q_kg_lex,
@@ -2024,6 +2064,7 @@ def oracle_sql():
         "kg_biaffine_spans": _sql_biaffine(),
         "kg_bio_spans": _sql_bio(),
         "kg_transitions": _sql_transitions(),
+        "kg_action_table": _sql_action_table(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold
         "kg_stream_triples": _sql_kg_triples(),

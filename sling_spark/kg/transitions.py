@@ -211,3 +211,104 @@ def gold_transitions(
         .cogroup(r.groupBy("_rr", "_rp", "_rc"))
         .applyInPandas(gen, schema=TRANSITIONS_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# parser-state Apply analog + knolex cascade structure
+# ---------------------------------------------------------------------------
+
+
+def apply_transitions(
+    actions: list[tuple[str, int, int, int, str, str]],
+) -> dict:
+    """Replay a gold action sequence — the ParserState::Apply analog
+    (reference sling/nlp/parser/parser-state.cc:44-289): SHIFT advances
+    the token cursor, MARK pushes it, EVOKE/REFER materialize spans
+    (explicit length from the cursor, length 0 from the mark stack) and
+    maintain the attention buffer with the EXACT Connect re-focusing
+    rule (the larger of source/target moves next to the smaller,
+    parser-state.cc:246-258). Returns the reconstructed document:
+    ``spans`` [(begin, end, frame_idx)], ``frames`` [label],
+    ``edges`` [(src_frame, role, tgt_frame)], ``assigns``
+    [(frame, role, value)]. Round-tripping generate_transitions through
+    this applier recovers the silver annotations exactly
+    (test_transition_roundtrip) — the generator/applier consistency
+    invariant the reference trains against."""
+    current = 0
+    marks: list[int] = []
+    frames: list[str] = []  # frame_idx -> label
+    attention: list[int] = []  # frame indices; last = center
+    spans: list[tuple[int, int, int]] = []
+    edges: list[tuple[int, str, int]] = []
+    assigns: list[tuple[int, str, str]] = []
+
+    def att(i: int) -> int:
+        return attention[len(attention) - 1 - i]
+
+    def move(idx: int, pos: int) -> None:
+        if idx == pos:
+            return
+        n = len(attention)
+        start, end = n - idx - 1, n - pos - 1
+        f = attention[start]
+        for i in range(start, end):
+            attention[i] = attention[i + 1]
+        attention[end] = f
+
+    def span_bounds(length: int) -> tuple[int, int]:
+        if length == 0:
+            return marks.pop(), current + 1
+        return current, current + length
+
+    for action, length, source, target, role, label in actions:
+        if action == SHIFT:
+            current += 1
+        elif action == MARK:
+            marks.append(current)
+        elif action == EVOKE:
+            b, e = span_bounds(length)
+            frames.append(label)
+            spans.append((b, e, len(frames) - 1))
+            attention.append(len(frames) - 1)
+        elif action == REFER:
+            b, e = span_bounds(length)
+            f = att(target)
+            spans.append((b, e, f))
+            move(target, 0)
+        elif action == CONNECT:
+            edges.append((att(source), role, att(target)))
+            if source < target:  # parser-state.cc:253-257
+                move(target, source + 1)
+            elif source > target:
+                move(source, target + 1)
+        elif action == ASSIGN:
+            assigns.append((att(source), role, label))
+        else:
+            raise ValueError(f"unknown action {action!r}")
+    return {"spans": spans, "frames": frames, "edges": edges,
+            "assigns": assigns}
+
+
+def action_table(transitions: DataFrame) -> DataFrame:
+    """Action vocabulary + cascade-delegate structure from gold
+    sequences — the knolex cascade's non-neural skeleton (reference
+    knolex-decoder.cc:118-151: MainDelegate classifies SHIFT/MARK/
+    CASCADE, an EvokeDelegate holds the EVOKE/REFER actions, a
+    ConnectDelegate the CONNECT/ASSIGN actions; the per-delegate action
+    inventories are COLLECTED FROM THE GOLD SEQUENCES exactly as the
+    trainer builds its ActionTable). One hash aggregation keyed by the
+    distinct action tuple; delegate assignment is a pure when-chain."""
+    delegate = (
+        F.when(F.col("action").isin(SHIFT, MARK), F.lit("main"))
+        .when(F.col("action").isin(EVOKE, REFER), F.lit("evoke"))
+        .otherwise(F.lit("connect"))
+    )
+    return (
+        transitions.groupBy(
+            "action", "length", "source", "target", "role", "label"
+        )
+        .agg(F.count("*").cast("long").alias("n_uses"))
+        .withColumn("delegate", delegate)
+        .select("delegate", "action", "length", "source", "target",
+                "role", "label", "n_uses")
+    )

@@ -296,3 +296,62 @@ def test_gold_transition_generator():
         ("SHIFT", 0, 0, 0, "", ""),
         ("SHIFT", 0, 0, 0, "", ""),         # t=9
     ]
+
+
+def test_transition_roundtrip_recovers_annotations(spark):
+    """Generator/applier consistency (the invariant the reference
+    trains against): applying the gold sequence (ParserState::Apply
+    semantics, parser-state.cc:44-289) reconstructs EXACTLY the silver
+    spans, the in-document relation edges, and the out-of-document
+    ASSIGN slots — across the whole 40-file fixture."""
+    from sling_spark.kg.transitions import (
+        _doc_slots,
+        apply_transitions,
+        generate_transitions,
+    )
+    from sling_spark.oracle import kg_oracle
+
+    res = kg_oracle.run(40)
+    spans_by, rel_by, n_tok = {}, {}, {}
+    for d in res["documents"]:
+        n_tok[(d["repo"], d["path"], d["commit"])] = len(d["tokens"])
+    for m in res["mentions"]:
+        k = (m["repo"], m["path"], m["commit"])
+        spans_by.setdefault(k, set()).add((m["begin"], m["end"], m["entity"]))
+    for r in res["relations"]:
+        k = (r["repo"], r["path"], r["commit"])
+        rel_by.setdefault(k, []).append(r)
+
+    checked_docs = checked_edges = 0
+    for k in sorted(spans_by):
+        spans = sorted(spans_by[k])
+        slots = _doc_slots(rel_by.get(k, []))
+        actions = generate_transitions(spans, slots, n_tok[k])
+        doc = apply_transitions(actions)
+        # spans reconstruct exactly, with frames resolving to entities
+        got_spans = {
+            (b, e, doc["frames"][f]) for b, e, f in doc["spans"]
+        }
+        assert got_spans == set(spans), k
+        # edges == relations whose object is mentioned in the doc;
+        # assigns == the rest
+        mentioned = {s[2] for s in spans}
+        expected_edges, expected_assigns = set(), set()
+        for subj, pairs in slots.items():
+            for role, value in pairs:
+                if value in mentioned:
+                    expected_edges.add((subj, role, value))
+                else:
+                    expected_assigns.add((subj, role, value))
+        got_edges = {
+            (doc["frames"][s], r, doc["frames"][t])
+            for s, r, t in doc["edges"]
+        }
+        got_assigns = {
+            (doc["frames"][f], r, v) for f, r, v in doc["assigns"]
+        }
+        assert got_edges == expected_edges, k
+        assert got_assigns == expected_assigns, k
+        checked_docs += 1
+        checked_edges += len(got_edges)
+    assert checked_docs >= 30 and checked_edges > 50
