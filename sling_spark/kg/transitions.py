@@ -78,8 +78,11 @@ def generate_transitions(
         return -1
 
     def move(idx: int, pos: int) -> None:
-        # move toward the center (Attention::move)
-        if idx == pos:
+        # move toward the center only (Attention::move DCHECKs
+        # index > position; parser-state Connect never moves when
+        # source == target, so a SELF-SLOT — value == the frame itself,
+        # giving move(0, 1) — must be a no-op, not a buffer corruption)
+        if idx <= pos:
             return
         n = len(attention)
         start = n - idx - 1

@@ -187,3 +187,45 @@ def test_jaccard_candidates_path_restricts_scan(spark):
     assert "LeftSemi" in plan, plan
     # and the stop-shingle anti-join runs on this path too
     assert "LeftAnti" in plan, plan
+
+
+def test_new_round3_plan_shapes(spark):
+    """Round-3 operators keep scale-critical plan shapes: the Turtle
+    export is two partial-agg hash aggregations with NO Python node;
+    the transitions op is ONE cogroup shuffle (FlatMapCoGroupsInPandas)
+    with the doc_stats side broadcast; action_table adds one
+    partial-agg aggregation."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.materialize import triples_to_turtle
+    from sling_spark.kg.transitions import action_table, gold_transitions
+
+    t = spark.createDataFrame(
+        [("Q1", "P1", "Q2"), ("Q1", "P2", "x y")],
+        "subj string, pred string, obj string",
+    )
+    ttl_plan = formatted_plan(triples_to_turtle(t))
+    assert ttl_plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in ttl_plan
+
+    m = spark.createDataFrame(
+        [("r", "p", "c", 0, 1, "Q1")],
+        "repo string, path string, commit string, begin int, end int, entity string",
+    )
+    r = spark.createDataFrame(
+        [("r", "p", "c", "Q1", "P1", "Q2")],
+        "repo string, path string, commit string, subj string, pred string, obj string",
+    )
+    ds = spark.createDataFrame(
+        [("r", "p", "c", 5)],
+        "repo string, path string, commit string, n_tokens int",
+    )
+    tr = gold_transitions(m, r, ds)
+    tr_plan = formatted_plan(tr)
+    assert "FlatMapCoGroupsInPandas" in tr_plan
+    assert "BroadcastHashJoin" in tr_plan  # doc_stats side is broadcast
+    assert "SortMergeJoin" not in tr_plan
+
+    at_plan = formatted_plan(action_table(tr))
+    assert at_plan.count("HashAggregate") >= 2  # partial + final

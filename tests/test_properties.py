@@ -356,3 +356,128 @@ def test_tokenize_arrays_matches_tokenize(content):
     assert ta.brks.tolist() == [t.brk for t in toks]
     assert ta.fps.tolist() == [t.fp for t in toks]
     assert ta.forms.tolist() == [t.form for t in toks]
+
+
+@st.composite
+def _triple_set(draw):
+    ids = [f"Q{i}" for i in range(1, 8)] + ["cc:x1", "i/odd id", "Ab_c-d"]
+    preds = [f"P{i}" for i in range(1, 6)] + ["weird/pred"]
+    n = draw(st.integers(min_value=1, max_value=12))
+    triples = set()
+    for _ in range(n):
+        s = draw(st.sampled_from(ids))
+        p = draw(st.sampled_from(preds))
+        if draw(st.booleans()):
+            o = draw(st.sampled_from(ids))
+        else:
+            o = draw(st.text(
+                alphabet='ab"\\\n\r\t xyzé0-9', min_size=1, max_size=12))
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+@given(_triple_set())
+@settings(max_examples=60, deadline=None)
+def test_turtle_roundtrip_property(rows):
+    """Property: the Turtle printer/reader round-trips ARBITRARY triple
+    sets (ids incl. non-PN_LOCAL forms, literals with every escape
+    char) — driver-side twin of the Spark grouping (same term rules),
+    exercised via the scalar reader over a synthesized document."""
+    from sling_spark.kg.materialize import (
+        _NT_ESCAPES,
+        parse_turtle,
+        turtle_prefixes,
+    )
+
+    kb_, p_ = "http://example.org/kb/", "http://example.org/prop/"
+    qname_ok = lambda x: x[0].isalpha() and all(
+        c.isalnum() or c in "_-" for c in x)
+    import re as _re
+
+    is_ref = lambda o: bool(_re.match(r"^(Q\d+$|[a-z]+:)", o))
+
+    def term(x, iri, pref):
+        return f"{pref}:{x}" if qname_ok(x) else f"<{iri}{x}>"
+
+    def esc(s):
+        for raw, e in _NT_ESCAPES.items():
+            s = s.replace(raw, e)
+        return s
+
+    # driver-side print with the SAME grouping rules as the Spark op
+    by_s: dict = {}
+    for s, p, o in rows:
+        ot = term(o, kb_, "kb") if is_ref(o) else '"' + esc(o) + '"'
+        by_s.setdefault(term(s, kb_, "kb"), {}).setdefault(
+            term(p, p_, "p"), set()).add(ot)
+    blocks = []
+    for s in sorted(by_s):
+        clauses = sorted(
+            f"{p} {' , '.join(sorted(objs))}" for p, objs in by_s[s].items()
+        )
+        blocks.append(s + " " + " ;\n    ".join(clauses) + " .")
+    doc = turtle_prefixes() + "\n" + "\n".join(blocks)
+
+    got = set(parse_turtle(doc))
+    expected = {
+        (kb_ + s, p_ + p, (kb_ + o) if is_ref(o) else o) for s, p, o in rows
+    }
+    assert got == expected
+
+
+@st.composite
+def _silver_doc(draw):
+    n_tokens = draw(st.integers(min_value=1, max_value=30))
+    ents = [f"E{i}" for i in range(6)] + ["lit:2014"]
+    spans, pos = [], 0
+    while pos < n_tokens:
+        if draw(st.booleans()):
+            end = draw(st.integers(min_value=pos + 1,
+                                   max_value=min(n_tokens, pos + 4)))
+            spans.append((pos, end, draw(st.sampled_from(ents))))
+            pos = end
+        else:
+            pos += 1
+    slots = {}
+    for e in {s[2] for s in spans}:
+        if draw(st.booleans()):
+            slots[e] = sorted({
+                (draw(st.sampled_from(["P1", "P2", "P3"])),
+                 draw(st.sampled_from(ents + ["EXTERNAL", "1999"])))
+                for _ in range(draw(st.integers(min_value=1, max_value=3)))
+            })
+    return spans, slots, n_tokens
+
+
+@given(_silver_doc())
+@settings(max_examples=80, deadline=None)
+def test_transition_roundtrip_property(doc):
+    """Property: apply(generate(doc)) == doc for ARBITRARY disjoint
+    span sets and slot graphs (self-slots, repeated mentions, literal
+    frames, external values) — the generator/applier consistency
+    invariant under fuzzing, not just the corpus fixture."""
+    from sling_spark.kg.transitions import (
+        apply_transitions,
+        generate_transitions,
+    )
+
+    spans, slots, n_tokens = doc
+    out = apply_transitions(generate_transitions(sorted(spans), slots, n_tokens))
+    got_spans = {(b, e, out["frames"][f]) for b, e, f in out["spans"]}
+    assert got_spans == set(spans)
+    mentioned = {s[2] for s in spans}
+    exp_edges, exp_assigns = set(), set()
+    for subj, pairs in slots.items():
+        if subj not in mentioned:
+            continue  # unmentioned subjects never evoke: no slots emitted
+        for role, value in pairs:
+            if value in mentioned:
+                exp_edges.add((subj, role, value))
+            else:
+                exp_assigns.add((subj, role, value))
+    got_edges = {
+        (out["frames"][s], r, out["frames"][t]) for s, r, t in out["edges"]
+    }
+    got_assigns = {(out["frames"][f], r, v) for f, r, v in out["assigns"]}
+    assert got_edges == exp_edges
+    assert got_assigns == exp_assigns
