@@ -344,8 +344,20 @@ def build_asset_store(
     seed = seed or seed_dataframes(spark)
     dfs = asset_dataframes(spark, seed, min_alias_count=min_alias_count)
     dfs = dict(dfs, idf=idf_table(documents))
-    for name, df in dfs.items():
+    # concurrent writes: the 5 KB-derived tables are corpus-independent
+    # and small, while the IDF table runs the corpus tokenize pass —
+    # submitting all six jobs at once lets the dimension writes fill
+    # slots the wide IDF job leaves idle instead of serializing a
+    # scheduling tail after it (same overlap the broadcast mode gets
+    # from phrase_table_future)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write(item):
+        name, df = item
         df.write.mode("overwrite").parquet(os.path.join(store_dir, name))
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        list(ex.map(write, dfs.items()))
     # unique build token: rebuilding at the same path must invalidate
     # worker-side _STORE_CACHE entries from earlier builds (ADVICE r02)
     token = uuid.uuid4().hex
