@@ -315,3 +315,39 @@ def action_table(transitions: DataFrame) -> DataFrame:
         .select("delegate", "action", "length", "source", "target",
                 "role", "label", "n_uses")
     )
+
+
+CASCADE = "CASCADE"
+
+
+def cascade_encode(
+    actions: list[tuple[str, int, int, int, str, str]],
+    scheme: str = "caspar",
+) -> list[tuple[str, int, int, int, str, str]]:
+    """Cascade-form gold sequences — the exact per-decoder training
+    targets (the second tuple field carries the DELEGATE index for
+    CASCADE actions, mirroring ParserAction's packed constructor where
+    the same byte is length-or-delegate, parser-action.h:96-103):
+
+    - ``caspar`` (caspar-decoder.cc:105-115): CASCADE(1) before every
+      action that is not SHIFT/MARK — a ShiftMarkOther main delegate
+      plus one classification delegate over the full action table;
+    - ``knolex`` (knolex-decoder.cc:196-207): CASCADE(1) before EVOKE
+      and CASCADE(2) before CONNECT only — faithfully reproducing that
+      REFER/ASSIGN actions get NO cascade prefix in the reference (its
+      knowledge-extraction corpora do not train those paths).
+    """
+    out: list[tuple[str, int, int, int, str, str]] = []
+    for a in actions:
+        if scheme == "caspar":
+            if a[0] not in (SHIFT, MARK):
+                out.append((CASCADE, 1, 0, 0, "", ""))
+        elif scheme == "knolex":
+            if a[0] == EVOKE:
+                out.append((CASCADE, 1, 0, 0, "", ""))
+            elif a[0] == CONNECT:
+                out.append((CASCADE, 2, 0, 0, "", ""))
+        else:
+            raise ValueError(f"unknown cascade scheme {scheme!r}")
+        out.append(a)
+    return out

@@ -355,3 +355,32 @@ def test_transition_roundtrip_recovers_annotations(spark):
         checked_docs += 1
         checked_edges += len(got_edges)
     assert checked_docs >= 30 and checked_edges > 50
+
+
+def test_cascade_encodings():
+    """Cascade-form gold sequences match the per-decoder reference
+    encoders: caspar prefixes every non-SHIFT/MARK action with
+    CASCADE(1); knolex prefixes only EVOKE (1) and CONNECT (2)."""
+    from sling_spark.kg.transitions import cascade_encode, generate_transitions
+
+    spans = [(0, 1, "A"), (2, 3, "B"), (4, 5, "A")]
+    slots = {"A": [("P1", "B"), ("P2", "X")]}
+    base = generate_transitions(spans, slots, 6)
+    caspar = cascade_encode(base, "caspar")
+    knolex = cascade_encode(base, "knolex")
+
+    # every non-SHIFT/MARK action in caspar form is preceded by CASCADE(1)
+    for i, a in enumerate(caspar):
+        if a[0] not in ("SHIFT", "MARK", "CASCADE"):
+            assert caspar[i - 1][:2] == ("CASCADE", 1)
+    # stripping cascades recovers the base sequence in both schemes
+    assert [a for a in caspar if a[0] != "CASCADE"] == base
+    assert [a for a in knolex if a[0] != "CASCADE"] == base
+    # knolex: EVOKE -> CASCADE(1); CONNECT -> CASCADE(2); REFER bare
+    for i, a in enumerate(knolex):
+        if a[0] == "EVOKE":
+            assert knolex[i - 1][:2] == ("CASCADE", 1)
+        elif a[0] == "CONNECT":
+            assert knolex[i - 1][:2] == ("CASCADE", 2)
+        elif a[0] == "REFER":
+            assert knolex[i - 1][0] != "CASCADE"
