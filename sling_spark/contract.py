@@ -1589,6 +1589,59 @@ FROM (VALUES {values})
 """
 
 
+def q_kg_phrase_structure(spark, sf_dir):
+    """Sub-mention structure of resolved multi-word mentions (the
+    phrase-structure annotator analog, reference
+    sling/nlp/silver/phrases.cc:37-395): subphrases resolving to the
+    parent entity's fact targets become sub-mentions with the fact's
+    property as the role ("Apache" inside "Apache Spark" → the
+    foundation, developed-by). Oracle: the shared scalar analyzer run
+    driver-side over the INDEPENDENT oracle's mentions + phrase table +
+    fact closure."""
+    from .kg.assets import build_assets, seed_dataframes
+    from .kg.phrase_structure import phrase_structure
+    from .kg.pipeline import run_pipeline
+
+    res = run_pipeline(spark, n_files=40)
+    assets_bc, _ = build_assets(spark, res["doc_stats"], seed_dataframes(spark))
+    return phrase_structure(res["mentions"], assets_bc).distinct()
+
+
+def _sql_phrase_structure() -> str:
+    from .functions.tokenize import tokenize
+    from .kg.phrase_structure import analyze_phrase
+    from .oracle.kg_oracle import build_phrase_table
+    from .sources import kb
+
+    res = _kg_oracle_40()
+    pt = build_phrase_table()
+    st = kb.facts_lookup()
+    rows = set()
+    for m in res["mentions"]:
+        if m["end"] - m["begin"] < 2 or m["fp"] == 0 or m["anaphora"]:
+            continue
+        words = [t.word for t in tokenize(m["phrase"])]
+        for b, e, sub_ent, pid in analyze_phrase(words, m["entity"], pt, st):
+            rows.add(
+                (m["repo"], m["path"], m["commit"], m["sentence"],
+                 m["begin"], m["end"], m["entity"],
+                 m["begin"] + b, m["begin"] + e, sub_ent, pid)
+            )
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {s}, {b}, {e}, "
+        f"{_sql_quote(ent)}, {sb}, {se}, {_sql_quote(sub)}, {_sql_quote(pid)})"
+        for r, p, c, s, b, e, ent, sb, se, sub, pid in sorted(rows)
+    )
+    return f"""
+SELECT repo, path, "commit", sentence::INT AS sentence, begin::INT AS begin,
+       "end"::INT AS "end", entity, sub_begin::INT AS sub_begin,
+       sub_end::INT AS sub_end, sub_entity, pid
+FROM (VALUES {values})
+  AS t(repo, path, "commit", sentence, begin, "end", entity,
+       sub_begin, sub_end, sub_entity, pid)
+"""
+
+
 def q_kg_bio_spans(spark, sf_dir):
     """Batched BIO sequence-tagging decode over the synthetic corpus
     (the bio-decoder analog, SURVEY.md §2.8 — reference
@@ -2006,6 +2059,7 @@ def queries():
         "kg_bio_spans": q_kg_bio_spans,
         "kg_transitions": q_kg_transitions,
         "kg_action_table": q_kg_action_table,
+        "kg_phrase_structure": q_kg_phrase_structure,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
         "kg_lex": q_kg_lex,
@@ -2065,6 +2119,7 @@ def oracle_sql():
         "kg_bio_spans": _sql_bio(),
         "kg_transitions": _sql_transitions(),
         "kg_action_table": _sql_action_table(),
+        "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold
         "kg_stream_triples": _sql_kg_triples(),

@@ -553,3 +553,42 @@ def test_span_taxonomy_flags(spark):
     )
     got = {r["entity"]: r["flags"] for r in span_taxonomy(m, seed["items"]).collect()}
     assert got == {"Q80": SPAN_PERSON, "Q1": SPAN_SOFTWARE, "2014-02-27": 0}
+
+
+def test_phrase_structure_annotator(spark, stages):
+    """Phrase-structure analog (phrases.cc:37-160): 'Apache Spark'
+    resolved to Q1 gains the sub-mention 'Apache' -> Q50 (the
+    foundation) with the developed-by role; the full span itself is
+    never a sub-mention, and sub-mentions resolving to the parent are
+    dropped."""
+    from sling_spark.functions.tokenize import tokenize
+    from sling_spark.kg.assets import build_assets, seed_dataframes
+    from sling_spark.kg.phrase_structure import (
+        analyze_phrase,
+        phrase_structure,
+    )
+    from sling_spark.oracle.kg_oracle import build_phrase_table
+    from sling_spark.sources import kb
+
+    pt, st = build_phrase_table(), kb.facts_lookup()
+    # scalar core: the Apache example
+    words = [t.word for t in tokenize("Apache Spark")]
+    got = analyze_phrase(words, "Q1", pt, st)
+    assert got == [(0, 1, "Q50", "P3")]
+    # a single-token phrase has no PROPER subphrase
+    assert analyze_phrase(["Spark"], "Q1", pt, st) == []
+    # Node.js: 'js' resolves to JavaScript; the role is the FIRST fact
+    # with that target in priority order (P1 depends-on here — the
+    # reference likewise takes the first matching fact, phrases.cc:137)
+    wjs = [t.word for t in tokenize("Node.js")]
+    assert ("Q13", "P1") in {(s, p) for _b, _e, s, p in analyze_phrase(wjs, "Q35", pt, st)}
+
+    # spark path over the pipeline's own mentions
+    assets_bc, _ = build_assets(spark, stages["documents"], stages["seed"])
+    sub_rows = phrase_structure(stages["mentions"], assets_bc).collect()
+    rows = {(r["entity"], r["sub_entity"], r["pid"]) for r in sub_rows}
+    assert ("Q1", "Q50", "P3") in rows
+    # offsets: every sub-span sits strictly inside its parent span
+    for r in sub_rows:
+        assert r["begin"] <= r["sub_begin"] < r["sub_end"] <= r["end"]
+        assert (r["sub_end"] - r["sub_begin"]) < (r["end"] - r["begin"])
