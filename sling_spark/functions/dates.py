@@ -30,7 +30,30 @@ MONTHS = {
     "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
     "november": 11, "december": 12,
 }
-_MONTH_ALT = "|".join(MONTHS)
+#: common abbreviations (calendar month alias forms). In the TOKEN
+#: path these only match when capitalized — 'dec', 'sep', 'mar', 'jan'
+#: are everyday source-code identifiers, and the corpus is code.
+MONTH_ABBREV = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jun": 6, "jul": 7,
+    "aug": 8, "sep": 9, "sept": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
+def month_of_word(word: str) -> int | None:
+    """Month number of one TOKEN: full names case-insensitively,
+    abbreviations only when capitalized (shared by the mention chart
+    and the oracle — single source of truth, so the two sides cannot
+    diverge)."""
+    m = MONTHS.get(word.lower())
+    if m is not None:
+        return m
+    if word[:1].isupper():
+        return MONTH_ABBREV.get(word.lower())
+    return None
+
+
+_ALL_MONTHS = {**MONTHS, **MONTH_ABBREV}
+_MONTH_ALT = "|".join(_ALL_MONTHS)
 #: textual forms resolved by the DateAnnotator analog (calendar.cc
 #: ParseFromNumber / date parsing semantics): "May 14, 1984",
 #: "14 May 1984", "May 1984", decades "1960s", centuries "19th century"
@@ -67,16 +90,16 @@ def parse_date(text: str) -> ParsedDate | None:
         day, year = int(m.group(2)), int(m.group(3))
         if not 1 <= day <= 31:
             return None
-        return ParsedDate(year, MONTHS[m.group(1).lower()], day, P_DAY)
+        return ParsedDate(year, _ALL_MONTHS[m.group(1).lower()], day, P_DAY)
     m = _TEXT_DMY_RE.match(text)
     if m:
         day, year = int(m.group(1)), int(m.group(3))
         if not 1 <= day <= 31:
             return None
-        return ParsedDate(year, MONTHS[m.group(2).lower()], day, P_DAY)
+        return ParsedDate(year, _ALL_MONTHS[m.group(2).lower()], day, P_DAY)
     m = _TEXT_MY_RE.match(text)
     if m:
-        return ParsedDate(int(m.group(2)), MONTHS[m.group(1).lower()], 0, P_MONTH)
+        return ParsedDate(int(m.group(2)), _ALL_MONTHS[m.group(1).lower()], 0, P_MONTH)
     m = _TEXT_DECADE_RE.match(text)
     if m:
         return ParsedDate(int(m.group(1)) * 10, 0, 0, P_DECADE)

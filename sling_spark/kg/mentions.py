@@ -181,9 +181,9 @@ def _unit_of(word: str) -> str | None:
 
 @lru_cache(maxsize=1 << 18)
 def _month_of(word: str) -> int | None:
-    from ..functions.dates import MONTHS
+    from ..functions.dates import month_of_word
 
-    return MONTHS.get(word.lower())
+    return month_of_word(word)
 
 
 def _is_y4(word: str) -> bool:

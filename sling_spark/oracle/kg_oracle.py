@@ -20,7 +20,7 @@ import math
 import re
 from collections import defaultdict
 
-from ..functions.dates import MONTHS
+from ..functions.dates import month_of_word
 from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
 from ..functions.normalize import CASE_NONE, normalize_phrase
 from ..functions.numbers import (
@@ -342,7 +342,7 @@ def annotate(
                 if not num_re.match(w):
                     # month-led date forms (calendar month inventory):
                     # MONTH DD , YYYY | MONTH YYYY
-                    mi = MONTHS.get(w.lower())
+                    mi = month_of_word(w)
                     if mi is not None and b + 1 < n and toks[sb + b + 1].brk <= 1:
                         t1, t2 = toks[sb + b + 1], (
                             toks[sb + b + 3] if b + 3 < n else None
@@ -416,13 +416,13 @@ def annotate(
                     and b + 2 < n
                     and tok(1).brk <= 1
                     and tok(2).brk <= 1
-                    and MONTHS.get(tok(1).word.lower()) is not None
+                    and month_of_word(tok(1).word) is not None
                     and len(tok(2).word) == 4
                     and tok(2).word.isdigit()
                 ):
                     ends[b + 3].append(
                         (b, 0, CASE_NONE,
-                         f"{tok(2).word}-{MONTHS[tok(1).word.lower()]:02d}-{int(w):02d}")
+                         f"{tok(2).word}-{month_of_word(tok(1).word):02d}-{int(w):02d}")
                     )
                 # decade: 'YYY0' + adjacent 's' → star form
                 if (

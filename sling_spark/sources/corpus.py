@@ -108,24 +108,35 @@ _MONTH_NAMES = ["January", "February", "March", "April", "May", "June",
                 "December"]
 
 
+#: capitalized abbreviated forms (month_of_word's capitalized-only rule)
+_MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+               "Sep", "Oct", "Nov", "Dec"]
+
+
 def _render_date(rng: random.Random, iso: str) -> str:
     """Pick a surface form for an ISO date literal: day-precision dates
-    render as ISO, 'May 14, 1984' or '14 May 1984'; month-precision as
-    ISO or 'May 1984'. The annotator must recover the SAME normalized
-    value from every form (so distant supervision still matches the P6
-    fact object exactly)."""
+    render as ISO, 'May 14, 1984', '14 May 1984' or the abbreviated
+    'May 14, 1984' form ('Jan 5, 2020'); month-precision as ISO,
+    'May 1984' or 'Sep 2016'. The annotator must recover the SAME
+    normalized value from every form (so distant supervision still
+    matches the P6 fact object exactly)."""
     parts = iso.split("-")
     if len(parts) == 3 and parts[1].isdigit():
         y, m, d = parts
-        form = rng.randrange(3)
+        form = rng.randrange(4)
         if form == 1:
             return f"{_MONTH_NAMES[int(m) - 1]} {int(d)}, {y}"
         if form == 2:
             return f"{int(d)} {_MONTH_NAMES[int(m) - 1]} {y}"
+        if form == 3:
+            return f"{_MONTH_ABBR[int(m) - 1]} {int(d)}, {y}"
     elif len(parts) == 2 and parts[1].isdigit():
         y, m = parts
-        if rng.randrange(2):
+        form = rng.randrange(3)
+        if form == 1:
             return f"{_MONTH_NAMES[int(m) - 1]} {y}"
+        if form == 2:
+            return f"{_MONTH_ABBR[int(m) - 1]} {y}"
     return iso
 
 _IDENTS = ["handler", "worker", "cursor", "buffer", "router", "codec",

@@ -65,6 +65,16 @@ def test_parse_date_textual_forms():
     assert more_precise("196*", "1964-07") == "1964-07"
     assert more_precise("18**", "1867") == "1867"
     assert more_precise("195*", "1968") == "195*"  # different decade
+    # abbreviated month forms (month_of_word: abbreviations match only
+    # when capitalized in the TOKEN path; parse_date takes any case)
+    from sling_spark.functions.dates import month_of_word
+
+    da = parse_date("Jan 5, 2020")
+    assert (da.year, da.month, da.day, da.precision) == (2020, 1, 5, P_DAY)
+    assert parse_date("5 Dec 2019").month == 12
+    assert (parse_date("Sept 2016").month, parse_date("Sep 2016").month) == (9, 9)
+    assert month_of_word("Dec") == 12 and month_of_word("dec") is None
+    assert month_of_word("may") == 5  # full names stay case-insensitive
 
 
 def test_partition_ops(spark):
