@@ -664,6 +664,49 @@ FROM documents
 """
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination (the pretraining 13-gram-overlap rule,
+    here 5-grams at fixture scale): per document, the distinct shingles
+    shared with a benchmark set (every 17th document) and the
+    contaminated fraction. Scale shape = broadcast benchmark-shingle
+    semi-join + two partial-agg counts (operators/dedup.py
+    contamination_report); oracle = the identical relational algebra in
+    DuckDB."""
+    from .operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_report(docs, bench, n=5).filter(
+        F.col("n_contaminated") > 0
+    )
+
+
+_SQL_CONTAMINATION = """
+WITH toklists AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 4, 1) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' '
+                     || l[i+3] || ' ' || l[i+4])) AS shingle
+  FROM toklists
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated
+  FROM sh SEMI JOIN bench USING (shingle)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles, h.n_contaminated,
+       round(h.n_contaminated / t.n_shingles, 6) AS contamination
+FROM totals t JOIN hits h USING (doc_id)
+WHERE h.n_contaminated > 0
+"""
+
+
 def q_doc_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard over the near-dup fixture, pairs >= 0.6."""
     corpus = _docs_with_dups(spark, sf_dir)
@@ -2039,6 +2082,7 @@ def queries():
         "doc_quality_score": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_contamination": q_doc_contamination,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "emb_knn_bruteforce": q_emb_knn,
@@ -2092,6 +2136,7 @@ def oracle_sql():
         "doc_quality_score": _sql_quality(),
         "doc_fingerprint": _SQL_DOC_FP,
         "doc_ngram_jaccard": _SQL_JACCARD,
+        "doc_contamination": _SQL_CONTAMINATION,
         "doc_minhash": _sql_minhash(),
         "doc_simhash": _sql_simhash(),
         "emb_knn_bruteforce": _SQL_KNN,

@@ -272,3 +272,45 @@ def embedding_near_dup(
         F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination — the standard n-gram-overlap rule for
+    pretraining corpora (13-gram membership against evaluation sets):
+    per document, how many of its distinct word n-gram shingles also
+    appear anywhere in the benchmark corpus, plus the contaminated
+    fraction. Scale shape: the benchmark side is evaluation-set-sized →
+    its distinct shingle set BROADCASTS; the corpus side does one
+    broadcast semi-join (no shuffle of corpus shingles against the
+    benchmark) and two partial-agg counts keyed by doc — the corpus is
+    never self-joined and never leaves its partitioning except for the
+    per-doc count aggregation."""
+    doc_sh = shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        shingles(benchmark, id_col, bench_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = doc_sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, on="doc_id", how="left")
+        .fillna(0, subset=["n_contaminated"])
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )

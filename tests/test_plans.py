@@ -229,3 +229,26 @@ def test_new_round3_plan_shapes(spark):
 
     at_plan = formatted_plan(action_table(tr))
     assert at_plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """Decontamination keeps the 100 TB shape: the benchmark shingle
+    set is broadcast (LeftSemi BroadcastHashJoin) — the corpus shingles
+    are never shuffled against the benchmark — and the per-doc counts
+    are partial-agg aggregations."""
+    from sling_spark.operators.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta{i} eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    rep = contamination_report(docs, bench, n=3)
+    plan = formatted_plan(rep)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final aggs
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    # benchmark members are fully self-contaminated; others share the
+    # common prefix/suffix shingles but not the zeta{i} ones
+    assert rows[0]["contamination"] == 1.0
+    assert 0 < rows[1]["contamination"] < 1.0
