@@ -838,6 +838,68 @@ def q_doc_simhash(spark, sf_dir):
     return votes.select("doc_id", fp.cast("long").alias("simhash16"))
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over the dup fixture: 16-bit portable
+    fingerprints banded into 4 slices (pigeonhole: exact recall for
+    hamming < 4), bucket self-join, popcount(xor) <= 1 verify (16-bit
+    space is coarse, so the fixture threshold is tight) — the pairing
+    stage completing the simhash path (operators/dedup.py
+    simhash_near_dup). Oracle: identical algebra in DuckDB."""
+    from .operators.dedup import simhash_near_dup
+
+    docs = _docs_with_dups(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = toks.withColumn("h", _portable_hash(F.col("tok")) % H31)
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).cast("long").alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    fp = None
+    for i in range(16):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    sims = votes.select("doc_id", fp.cast("long").alias("simhash16"))
+    # 16-bit fingerprints on a template-heavy fixture need a tight
+    # threshold: hamming <= 1 (recall still exact — 1 < 4 bands)
+    return simhash_near_dup(
+        sims, bands=4, max_hamming=1, sim_col="simhash16", bits=16
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    h = _SQL_HASH.format(x="tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h} % {H31}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS b{i}"
+        for i in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH corpus AS ({_SQL_DOCS_DUPS}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM corpus
+), clean AS (SELECT * FROM toks WHERE length(tok) > 0),
+votes AS (SELECT doc_id, {votes} FROM clean GROUP BY doc_id),
+sim AS (SELECT doc_id, ({fp})::BIGINT AS sh FROM votes),
+banded AS (
+  SELECT doc_id, sh, b.band, (sh >> (b.band * 4)) & 15 AS slice
+  FROM sim, (SELECT unnest(range(4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sh_a, b.doc_id AS doc_b, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 1
+"""
+
+
 def _sql_simhash() -> str:
     h = _SQL_HASH.format(x="tok")
     votes = ", ".join(
@@ -2085,6 +2147,7 @@ def queries():
         "doc_contamination": q_doc_contamination,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_knn_bruteforce": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
         "emb_label_centroids": q_emb_centroids,
@@ -2139,6 +2202,7 @@ def oracle_sql():
         "doc_contamination": _SQL_CONTAMINATION,
         "doc_minhash": _sql_minhash(),
         "doc_simhash": _sql_simhash(),
+        "doc_simhash_pairs": _sql_simhash_pairs(),
         "emb_knn_bruteforce": _SQL_KNN,
         "emb_near_dup": _SQL_NEAR_DUP,
         "emb_label_centroids": _SQL_CENTROIDS,

@@ -314,3 +314,50 @@ def contamination_report(
             F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
         )
     )
+
+
+def simhash_near_dup(
+    sims: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash fingerprints — the pairing
+    stage that completes the simhash path (minhash has LSH banding →
+    jaccard verify; SRP has bucket join → cosine verify): band the
+    fingerprint into ``bands`` equal bit slices and self-join per
+    (band, slice) — by pigeonhole, any pair within hamming distance
+    < ``bands`` shares at least one identical slice, so recall is
+    EXACT for ``max_hamming`` < ``bands`` — then verify
+    popcount(xor) <= max_hamming. The shuffle key is the band slice:
+    near-dups collide, unrelated fingerprints spread; never all-pairs.
+    All JVM-side (shift/mask/xor/bit_count column expressions)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sims.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sim_col).alias("sh"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col(sim_col), i * width)
+                .bitwiseAND(F.lit(mask))
+                for i in range(bands)
+            ])
+        ).alias("band", "slice"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "slice"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("a.sh").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"), F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -471,3 +471,46 @@ def test_inverted_index_and_rekey_and_clear_refs(spark):
 
     cc = clear_references(m.withColumn("__aux", F.lit(1)))
     assert "__aux" not in cc.columns and set(cc.columns) == set(m.columns)
+
+
+def test_simhash_near_dup_pairs(spark):
+    """SimHash pairing stage: banded bucket join finds EVERY pair
+    within hamming < bands (pigeonhole recall guarantee) and the
+    popcount verify is exact — including 64-bit fingerprints with the
+    sign bit set."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.operators.dedup import simhash, simhash_near_dup
+
+    def i64(x: int) -> int:  # two's-complement wrap to int64
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = -(1 << 63) + 0x123456789AB  # sign bit set: unsigned shifts matter
+    rows = [
+        (1, base),
+        (2, i64(base ^ 0b101)),          # hamming 2 from doc 1
+        (3, i64(base ^ (1 << 63))),      # hamming 1 (flips the sign bit)
+        (4, i64(base ^ 0xFFFF)),         # hamming 16: out
+        (5, 0x0F0F0F0F),                 # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup(df, bands=4, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 2 and got[(1, 3)] == 1 and got[(2, 3)] == 3
+    assert all(a != 4 and b != 4 and a != 5 and b != 5 for a, b in got)
+
+    # end-to-end from text: identical docs pair at hamming 0
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content with other words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup(simhash(docs), bands=4, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0 and (1, 3) not in pairs
