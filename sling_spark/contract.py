@@ -1340,11 +1340,19 @@ def q_kg_ntriples(spark, sf_dir):
     return triples_to_ntriples(df)
 
 
+def _ref_regex_sql() -> str:
+    """The engine's emitted-id-namespace ref pattern (single source of
+    truth: kg.materialize._ref_id_regex) rendered for DuckDB."""
+    from .kg.materialize import _ref_id_regex
+
+    return _ref_id_regex()
+
+
 def _sql_kg_ntriples() -> str:
     return f"""
 SELECT '<http://example.org/kb/' || subj || '> <http://example.org/prop/' || pred
        || '> ' ||
-       CASE WHEN regexp_matches(obj, '^(Q\\d+$|[a-z]+:)')
+       CASE WHEN regexp_matches(obj, '{_ref_regex_sql()}')
             THEN '<http://example.org/kb/' || obj || '>'
             ELSE '"' || obj || '"' END
        || ' .' AS line
@@ -1383,7 +1391,7 @@ WITH t AS (
     CASE WHEN regexp_matches(pred, '^[A-Za-z][A-Za-z0-9_-]*$')
          THEN 'p:' || pred
          ELSE '<http://example.org/prop/' || pred || '>' END AS p,
-    CASE WHEN regexp_matches(obj, '^(Q\\d+$|[a-z]+:)') THEN
+    CASE WHEN regexp_matches(obj, '{_ref_regex_sql()}') THEN
       CASE WHEN regexp_matches(obj, '^[A-Za-z][A-Za-z0-9_-]*$')
            THEN 'kb:' || obj
            ELSE '<http://example.org/kb/' || obj || '>' END

@@ -79,6 +79,26 @@ def counter_invariants(metrics: DataFrame) -> dict[str, int]:
 _NT_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
 
 
+def _ref_id_regex() -> str:
+    """Entity-reference id pattern, built from the id namespaces this
+    engine actually EMITS (bare QIDs + the xref namespaces in
+    sources.kb.NAMESPACE_PRIORITY) — NOT a loose "looks like a curie"
+    sniff: a free-text literal such as ``mailto:a`` or ``http://x``
+    must render as a quoted literal, never be rewritten into an IRI.
+    Callers with an explicit literal/ref flag should pass ``ref_col``
+    instead of relying on this fallback."""
+    from ..sources.kb import NAMESPACE_PRIORITY
+
+    ns = "|".join(sorted(NAMESPACE_PRIORITY))
+    return rf"^(Q\d+$|({ns}):)"
+
+
+def _is_ref(ref_col: str | None):
+    if ref_col is not None:
+        return F.col(ref_col)
+    return F.col("obj").rlike(_ref_id_regex())
+
+
 def _nt_escape_col(c):
     """N-Triples literal escaping as column expressions (JVM-side)."""
     out = c
@@ -91,17 +111,20 @@ def triples_to_ntriples(
     triples: DataFrame,
     base_iri: str = "http://example.org/kb/",
     pred_iri: str = "http://example.org/prop/",
+    ref_col: str | None = None,
 ) -> DataFrame:
     """Render (subj, pred, obj) rows as N-Triples lines — the engine's
     analog of the reference's frame text/Turtle serialization
     (sling/frame/turtle.cc, reader.cc; SURVEY scopes frame wire formats
     out, but an RDF EXPORT is the interoperable shape a KB consumer
     expects). Entity ids become IRIs under ``base_iri``; literal objects
-    (dates, numbers, measures, free text — anything not shaped like an
-    id) render as escaped string literals. Pure column expressions: the
-    export stays inside whole-stage codegen and writes with
-    ``df.write.text`` at any scale."""
-    is_ref = F.col("obj").rlike(r"^(Q\d+$|[a-z]+:)")
+    (dates, numbers, measures, free text — anything outside the
+    engine's emitted id namespaces, see :func:`_ref_id_regex`; or pass
+    a boolean ``ref_col`` carried from the extraction stage) render as
+    escaped string literals. Pure column expressions: the export stays
+    inside whole-stage codegen and writes with ``df.write.text`` at any
+    scale."""
+    is_ref = _is_ref(ref_col)
     subj = F.concat(F.lit(f"<{base_iri}"), F.col("subj"), F.lit(">"))
     pred = F.concat(F.lit(f"<{pred_iri}"), F.col("pred"), F.lit(">"))
     obj = F.when(
@@ -144,6 +167,7 @@ def triples_to_turtle(
     triples: DataFrame,
     base_iri: str = "http://example.org/kb/",
     pred_iri: str = "http://example.org/prop/",
+    ref_col: str | None = None,
 ) -> DataFrame:
     """Render (subj, pred, obj) rows as Turtle subject blocks — the
     full serialization analog of the reference's Turtle printer
@@ -160,7 +184,7 @@ def triples_to_turtle(
     writes at any scale. Prepend :func:`turtle_prefixes` (or use
     :func:`write_turtle`, which stamps the directives on every part
     file so each part is a standalone valid document)."""
-    is_ref = F.col("obj").rlike(r"^(Q\d+$|[a-z]+:)")
+    is_ref = _is_ref(ref_col)
     terms = triples.select(
         _turtle_term(F.col("subj"), base_iri, "kb").alias("s"),
         _turtle_term(F.col("pred"), pred_iri, "p").alias("p"),

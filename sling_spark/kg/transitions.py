@@ -66,7 +66,21 @@ def generate_transitions(
     Generate, :93-185). ``spans``: disjoint (begin, end, entity)
     mention spans; ``slots``: entity → [(role, value)] sorted;
     ``n_tokens``: document length (one SHIFT per token). Returns
-    (action, length, source, target, role, label) tuples."""
+    (action, length, source, target, role, label) tuples.
+
+    Spans MUST be disjoint (validated below): the mark stack is LIFO,
+    so two multi-token spans ending on the same token would pop each
+    other's marks and silently swap boundaries on replay. This engine's
+    mention merger emits disjoint spans by construction; the check
+    turns a violated precondition into a loud error."""
+    prev_end = 0
+    for b, e, _ in sorted(spans):
+        if b < prev_end:
+            raise ValueError(
+                f"generate_transitions requires disjoint spans; got overlap "
+                f"at ({b}, {e}) after a span ending at {prev_end}"
+            )
+        prev_end = e
     attention: list[str] = []  # last element = center of attention
 
     def index(h: str) -> int:

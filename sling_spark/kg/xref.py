@@ -9,10 +9,11 @@ are lowercased before matching.
 
 Spark-first execution (SURVEY.md §4 custom-work item #1):
 
-1. **Min-label propagation** over the symmetric edge list — iterative
-   DataFrame joins; converges in O(diameter) rounds (diameter = alias
-   chain length, small). Each round is one shuffle-join + one partial
-   agg; lineage is truncated with localCheckpoint so plans don't grow.
+1. **Large-star / small-star connected components** over the symmetric
+   edge list (Kiveris et al., "Connected Components in MapReduce and
+   Beyond") — alternating DataFrame join/agg rounds that converge in
+   O(log n) rounds on ANY topology (a 10^6-edge chain is covered by
+   test); lineage is truncated with localCheckpoint so plans don't grow.
 2. **Constraint repair**: components that captured >= 2 main ids are
    re-solved per component in applyInPandas with a sequential union-find
    that refuses main+main unions, edges processed in a deterministic

@@ -28,9 +28,23 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
+def _size_guarded_broadcast(df: DataFrame, limit: int) -> DataFrame:
+    """Broadcast hint only when the side is verifiably small: the side
+    is localCheckpoint-materialized (computed once, lineage cut), its
+    row count probed, and the hint applied only when at most ``limit``
+    rows — an oversized "small" side degrades to a shuffled/AQE join
+    instead of OOMing every executor. Pass ``limit=0`` to never
+    broadcast, a negative limit to skip the probe and always hint."""
+    if limit < 0:
+        return F.broadcast(df)
+    df = df.localCheckpoint()
+    return F.broadcast(df) if df.count() <= limit else df
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (content_hash, keep_id, dup_ids,
-    n_dups). keep = min id (deterministic)."""
+    """Groups of byte-identical documents: one row per duplicated
+    content hash — (content_hash, keep_id, n_copies) with keep_id =
+    min doc id (deterministic representative)."""
     h = docs.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
     return (
         h.groupBy("content_hash")
@@ -109,6 +123,7 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     stop_df_frac: float | None = 0.01,
     stop_min_df: int = 8,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity per document pair.
 
@@ -129,9 +144,17 @@ def jaccard_pairs(
     ``max(stop_df_frac * n_docs, stop_min_df)`` is removed from the whole
     computation (sizes AND intersections — jaccard is over the filtered
     shingle universe, the stop-word analog). The stop set is
-    high-frequency by construction, hence tiny → broadcast anti-join; the
-    doc count enters the plan as a broadcast scalar, no driver action.
+    high-frequency by construction, hence bounded — at most
+    avg_shingles_per_doc / stop_df_frac distinct shingles can exceed the
+    frequency bar, independent of corpus size — so it is broadcast,
+    SIZE-GUARDED: the set is materialized once (localCheckpoint), probed,
+    and only hinted when at most ``broadcast_limit`` rows (degenerate
+    inputs fall back to a shuffled anti-join instead of OOMing).
     Pass ``stop_df_frac=None`` to disable (exact jaccard on all shingles).
+
+    ``candidates`` may carry duplicate or unordered pairs (distinct +
+    doc_a < doc_b is enforced here — duplicate pairs would silently
+    inflate the intersection counts).
     """
     if stop_df_frac is not None:
         # Corpus-wide DF (computed BEFORE any candidate restriction so
@@ -147,8 +170,21 @@ def jaccard_pairs(
             )
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(stop), on="shingle", how="left_anti")
+        sh = sh.join(
+            _size_guarded_broadcast(stop, broadcast_limit),
+            on="shingle", how="left_anti",
+        )
     if candidates is not None:
+        # normalize pair orientation and dedupe: reversed or repeated
+        # candidate rows would double-count intersections below
+        candidates = (
+            candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
         # Scale path: shrink the shingle relation to candidate docs
         # FIRST (semi-join below the expensive joins — Catalyst will not
         # push a semi-join below an aggregation, so doing it here is the
@@ -281,16 +317,20 @@ def contamination_report(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 13,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Benchmark decontamination — the standard n-gram-overlap rule for
     pretraining corpora (13-gram membership against evaluation sets):
     per document, how many of its distinct word n-gram shingles also
     appear anywhere in the benchmark corpus, plus the contaminated
     fraction. Scale shape: the benchmark side is evaluation-set-sized →
-    its distinct shingle set BROADCASTS; the corpus side does one
-    broadcast semi-join (no shuffle of corpus shingles against the
-    benchmark) and two partial-agg counts keyed by doc — the corpus is
-    never self-joined and never leaves its partitioning except for the
+    its distinct shingle set BROADCASTS, size-guarded (materialized +
+    probed; over ``broadcast_limit`` rows the semi-join degrades to a
+    shuffled/AQE join instead of OOMing executors on a pathologically
+    large "benchmark"); the corpus side does one semi-join (no shuffle
+    of corpus shingles against the benchmark in the broadcast case) and
+    two partial-agg counts keyed by doc — the corpus is never
+    self-joined and never leaves its partitioning except for the
     per-doc count aggregation."""
     doc_sh = shingles(docs, id_col, text_col, n)
     bench_sh = (
@@ -301,8 +341,9 @@ def contamination_report(
     totals = doc_sh.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_shingles")
     )
+    bench_sh = _size_guarded_broadcast(bench_sh, broadcast_limit)
     hits = (
-        doc_sh.join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+        doc_sh.join(bench_sh, on="shingle", how="left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )

@@ -592,3 +592,17 @@ def test_phrase_structure_annotator(spark, stages):
     for r in sub_rows:
         assert r["begin"] <= r["sub_begin"] < r["sub_end"] <= r["end"]
         assert (r["sub_end"] - r["sub_begin"]) < (r["end"] - r["begin"])
+
+
+def test_generate_transitions_rejects_overlap():
+    """Overlapping spans violate the LIFO mark-stack precondition and
+    must fail loudly, not silently swap boundaries (ADVICE r3)."""
+    import pytest
+
+    from sling_spark.kg.transitions import generate_transitions
+
+    with pytest.raises(ValueError, match="disjoint"):
+        generate_transitions([(0, 3, "Q1"), (2, 5, "Q2")], {}, 6)
+    # touching spans are fine
+    acts = generate_transitions([(0, 2, "Q1"), (2, 4, "Q2")], {}, 4)
+    assert [a[0] for a in acts].count("EVOKE") == 2

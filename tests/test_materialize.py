@@ -159,3 +159,34 @@ def test_turtle_export_roundtrip(spark, tmp_path):
         assert text.startswith("@prefix kb:")
         all_triples.extend(parse_turtle(text))
     assert set(all_triples) == expected
+
+
+def test_ntriples_ref_heuristic_literal_safety(spark):
+    """Literals that merely LOOK like curies (mailto:, http:) must stay
+    quoted literals — only the engine's emitted id namespaces render as
+    IRIs (ADVICE r3: is_ref sniff rewrote foreign-schema literals)."""
+    from sling_spark.kg.materialize import parse_turtle, triples_to_ntriples, triples_to_turtle, turtle_prefixes
+
+    df = spark.createDataFrame(
+        [("Q1", "P1", "mailto:someone@example.com"),
+         ("Q1", "P2", "http://example.com/page"),
+         ("Q1", "P3", "github:apache/spark"),
+         ("Q1", "P4", "Q42")],
+        "subj string, pred string, obj string",
+    )
+    lines = {r["line"] for r in triples_to_ntriples(df).collect()}
+    assert any('"mailto:someone@example.com"' in l for l in lines)
+    assert any('"http://example.com/page"' in l for l in lines)
+    assert any("<http://example.org/kb/github:apache/spark>" in l for l in lines)
+    assert any("<http://example.org/kb/Q42>" in l for l in lines)
+    # explicit ref flag overrides the sniff entirely
+    flagged = df.withColumn("is_ref", F.col("obj") == F.lit("Q42"))
+    lines2 = {r["line"] for r in triples_to_ntriples(flagged.select("subj", "pred", "obj", "is_ref"), ref_col="is_ref").collect()}
+    assert any('"github:apache/spark"' in l for l in lines2)
+    # and the Turtle printer round-trips the sniffed literals unchanged
+    blocks = "\n".join(
+        r["block"] for r in triples_to_turtle(df).collect()
+    )
+    triples = set(parse_turtle(turtle_prefixes() + "\n" + blocks))
+    assert ("http://example.org/kb/Q1", "http://example.org/prop/P1",
+            "mailto:someone@example.com") in triples

@@ -514,3 +514,68 @@ def test_simhash_near_dup_pairs(spark):
         for r in simhash_near_dup(simhash(docs), bands=4, max_hamming=3).collect()
     }
     assert pairs.get((1, 2)) == 0 and (1, 3) not in pairs
+
+
+def test_jaccard_candidates_normalized(spark):
+    """Duplicate / reversed candidate pairs must NOT inflate the
+    intersection counts (ADVICE r3: the expansion-join formulation
+    counts one intersection row per candidate row)."""
+    from sling_spark.operators.dedup import jaccard_pairs, shingles
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", n=3).persist()
+    clean = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    messy = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "doc_a long, doc_b long"
+    )
+    want = {(r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+            for r in jaccard_pairs(sh, 0.5, candidates=clean).collect()}
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+           for r in jaccard_pairs(sh, 0.5, candidates=messy).collect()}
+    assert want == got and (1, 2) in got
+    sh.unpersist()
+
+
+def test_contamination_broadcast_guard(spark):
+    """An 'oversized' benchmark side (forced via broadcast_limit=0) must
+    complete WITHOUT a broadcast hint and produce identical results
+    (verdict r3 item 7: size guard -> shuffled-join fallback)."""
+    from sling_spark.operators.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30))),
+         (2, " ".join(f"x{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    hinted = contamination_report(docs, bench, n=5)
+    guarded = contamination_report(docs, bench, n=5, broadcast_limit=0)
+    assert "broadcast" not in guarded._jdf.queryExecution().optimizedPlan().toString().lower()
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(hinted) == as_rows(guarded)
+
+
+def test_jaccard_stop_shingle_broadcast_guard(spark):
+    """Same guard on the stop-shingle anti-join side of jaccard_pairs."""
+    from sling_spark.operators.dedup import jaccard_pairs, shingles
+
+    hot = " ".join(f"hot{i}" for i in range(10))  # df=12 -> stopped
+    docs = spark.createDataFrame(
+        [(i, hot + " " + " ".join(f"p{i // 2}w{j}" for j in range(20)))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", n=3).persist()
+    hinted = jaccard_pairs(sh, 0.8, stop_df_frac=0.5, stop_min_df=2)
+    guarded = jaccard_pairs(
+        sh, 0.8, stop_df_frac=0.5, stop_min_df=2, broadcast_limit=0
+    )
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(hinted) == as_rows(guarded) and as_rows(guarded)
+    sh.unpersist()
