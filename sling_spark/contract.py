@@ -1603,7 +1603,7 @@ def q_kg_biaffine_spans(spark, sf_dir):
     from .sources.corpus import corpus_df
 
     docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
-    return score_spans(docs, threshold=1.5)
+    return score_spans(docs, threshold=5.0)
 
 
 def q_kg_transitions(spark, sf_dir):
@@ -1776,7 +1776,9 @@ def _sql_bio() -> str:
     VALUES table."""
     import numpy as np
 
+    from .kg.biaffine import sentence_bounds
     from .kg.bio import BioTagger
+    from .kg.lexical import encode_tokens
     from .oracle.kg_oracle import latest_corpus
 
     tagger = BioTagger()
@@ -1784,16 +1786,17 @@ def _sql_bio() -> str:
     for d in latest_corpus(20):
         toks = d["tokens"]
         brks = [t.brk for t in toks]
-        bounds, start = [], 0
-        for i in range(1, len(brks)):
-            if brks[i] >= 2:
-                bounds.append((start, i))
-                start = i
-        if brks:
-            bounds.append((start, len(brks)))
-        for s_idx, (sb, se) in enumerate(bounds):
-            fps = np.array([t.fp for t in toks[sb:se]], dtype=np.uint64)
-            for b, e, typ, score in tagger.decode(fps):
+        # encode + matmul once per document (equals the Spark op's
+        # batch-level call: the encoder resets at sentence starts and
+        # the quote-context pass resets at document starts)
+        lg = tagger.logits_from_encodings(
+            encode_tokens(
+                np.array([t.fp for t in toks], dtype=np.uint64),
+                [t.word for t in toks], brks, dim=tagger.dim,
+            )
+        )
+        for s_idx, (sb, se) in enumerate(sentence_bounds(brks)):
+            for b, e, typ, score in tagger.decode_logits(lg[sb:se]):
                 rows.append(
                     (d["repo"], d["path"], d["commit"], s_idx, sb + b, sb + e,
                      typ, round(score, 6))
@@ -1816,7 +1819,8 @@ def _sql_biaffine() -> str:
     VALUES table."""
     import numpy as np
 
-    from .kg.biaffine import BiaffineScorer
+    from .kg.biaffine import BiaffineScorer, sentence_bounds
+    from .kg.lexical import encode_tokens
     from .oracle.kg_oracle import latest_corpus
 
     scorer = BiaffineScorer()
@@ -1824,16 +1828,14 @@ def _sql_biaffine() -> str:
     for d in latest_corpus(20):
         toks = d["tokens"]
         brks = [t.brk for t in toks]
-        bounds, start = [], 0
-        for i in range(1, len(brks)):
-            if brks[i] >= 2:
-                bounds.append((start, i))
-                start = i
-        if brks:
-            bounds.append((start, len(brks)))
-        for s_idx, (sb, se) in enumerate(bounds):
-            fps = np.array([t.fp for t in toks[sb:se]], dtype=np.uint64)
-            for b, e, lab, score in scorer.top_spans(fps, 1.5):
+        enc = encode_tokens(
+            np.array([t.fp for t in toks], dtype=np.uint64),
+            [t.word for t in toks], brks, dim=scorer.dim,
+        )
+        for s_idx, (sb, se) in enumerate(sentence_bounds(brks)):
+            for b, e, lab, score in scorer.score_encodings(enc[sb:se]):
+                if score < 5.0:
+                    continue
                 rows.append(
                     (d["repo"], d["path"], d["commit"], s_idx, sb + b, sb + e,
                      lab, round(score, 6))

@@ -13,7 +13,9 @@ Weights are deterministic pseudo-random (seeded) — this reproduces the
 *execution shape* (the scoring math + batching), not a trained model;
 the silver pipeline (phrase table + resolver) remains the correctness
 path for triples, exactly as in the reference where the parser is
-trained FROM that silver data.
+trained FROM that silver data. The token encodings carry the FULL
+lexical-features.h inventory (word + prefix/suffix affixes + the five
+word-shape channels with context rules) via kg.lexical.encode_tokens.
 """
 
 from __future__ import annotations
@@ -36,20 +38,14 @@ def _rng(tag: str) -> np.random.Generator:
 
 
 def token_encodings(fps: np.ndarray, dim: int = DIM) -> np.ndarray:
-    """Shared token 'encodings': deterministic pseudo-embeddings from
-    token fingerprints with a +/-1 neighborhood mix (the lexical bi-LSTM
-    stand-in: every encoding sees local context). SHARED by the decoder
-    analogs — biaffine span scoring and BIO tagging read the same
-    encodings, exactly as the reference decoders share the lexical
-    encoder channel (sling/nlp/parser/parser-codec.cc encodings)."""
-    # hash-derived embedding: fp -> dim floats in [-1, 1)
-    mults = (np.arange(1, dim + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-    h = (fps[:, None].astype(np.uint64) * mults[None, :]) >> np.uint64(40)
-    emb = (h % np.uint64(2048)).astype(np.float32) / 1024.0 - 1.0
-    # local context mix
-    left = np.vstack([emb[:1], emb[:-1]])
-    right = np.vstack([emb[1:], emb[-1:]])
-    return emb + 0.5 * left + 0.5 * right
+    """Fingerprint-only token encodings (the word channel + context
+    mix) — kept for synthetic-fps callers; the corpus paths use
+    :func:`sling_spark.kg.lexical.encode_tokens` with words/brks, which
+    adds the affix + word-shape feature channels
+    (lexical-features.h:32-54) on top of this same word channel."""
+    from .lexical import encode_tokens
+
+    return encode_tokens(fps, dim=dim)
 
 
 def hash_seed(tag: str) -> int:
@@ -78,13 +74,24 @@ class BiaffineScorer:
     def embed(self, fps: np.ndarray) -> np.ndarray:
         return token_encodings(fps, self.dim)
 
-    def score_sentence(self, fps: np.ndarray) -> list[tuple[int, int, int, float]]:
-        """All (begin, end, label, score) for spans up to max_span —
+    def score_sentence(
+        self, fps: np.ndarray, words=None, brks=None
+    ) -> list[tuple[int, int, int, float]]:
+        """All (begin, end, label, score) for spans up to max_span.
+        With words/brks the encodings carry the full lexical feature
+        channel; fingerprint-only otherwise."""
+        from .lexical import encode_tokens
+
+        return self.score_encodings(
+            encode_tokens(fps, words, brks, dim=self.dim)
+        )
+
+    def score_encodings(self, h: np.ndarray) -> list[tuple[int, int, int, float]]:
+        """Score one sentence from precomputed token encodings —
         vectorized einsum over the padded span grid."""
-        n = len(fps)
+        n = len(h)
         if n == 0:
             return []
-        h = self.embed(fps)
         ones = np.ones((n, 1), dtype=np.float32)
         s = np.hstack([h @ self.w_start, ones])  # (n, proj+1)
         e = np.hstack([h @ self.w_end, ones])
@@ -98,34 +105,51 @@ class BiaffineScorer:
                 out.append((b, j + 1, lab, float(col[lab])))
         return out
 
-    def top_spans(self, fps: np.ndarray, threshold: float = 2.0):
-        return [t for t in self.score_sentence(fps) if t[3] >= threshold]
+    def top_spans(self, fps: np.ndarray, threshold: float = 2.0,
+                  words=None, brks=None):
+        return [
+            t for t in self.score_sentence(fps, words, brks)
+            if t[3] >= threshold
+        ]
+
+
+def sentence_bounds(brks: list[int]) -> list[tuple[int, int]]:
+    """[start, end) sentence windows from token break levels (brk >= 2
+    opens a sentence) — shared by the decoder-analog Spark ops."""
+    bounds, start = [], 0
+    for i in range(1, len(brks)):
+        if brks[i] >= 2:
+            bounds.append((start, i))
+            start = i
+    if brks:
+        bounds.append((start, len(brks)))
+    return bounds
 
 
 def score_spans(documents: DataFrame, scorer: BiaffineScorer | None = None,
                 threshold: float = 2.0) -> DataFrame:
     """documents (tokens layout, see build_documents) → (doc, sentence,
-    begin, end, label, score) span rows. One mapInPandas pass; scoring
-    is numpy-batched per sentence."""
+    begin, end, label, score) span rows. One mapInPandas pass; the
+    lexical encoder runs ONCE per document (boundary-aware, so
+    per-sentence slices equal per-sentence encodings), the biaffine
+    einsum per sentence."""
     scorer = scorer or BiaffineScorer()
 
     def run(batches):
+        from .lexical import encode_tokens
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 brks = list(r.t_brk)
-                all_fps = list(r.t_fp)
-                # sentence bounds from break levels
-                bounds, start = [], 0
-                for i in range(1, len(brks)):
-                    if brks[i] >= 2:
-                        bounds.append((start, i))
-                        start = i
-                if brks:
-                    bounds.append((start, len(brks)))
-                for s_idx, (sb, se) in enumerate(bounds):
-                    fps = np.array(all_fps[sb:se], dtype=np.uint64)
-                    for b, e, lab, score in scorer.top_spans(fps, threshold):
+                enc = encode_tokens(
+                    np.array(r.t_fp, dtype=np.uint64), list(r.t_word), brks,
+                    dim=scorer.dim,
+                )
+                for s_idx, (sb, se) in enumerate(sentence_bounds(brks)):
+                    for b, e, lab, score in scorer.score_encodings(enc[sb:se]):
+                        if score < threshold:
+                            continue
                         rows.append(
                             {
                                 "repo": r.repo,
@@ -144,6 +168,6 @@ def score_spans(documents: DataFrame, scorer: BiaffineScorer | None = None,
                          "begin", "end", "label", "score"],
             )
 
-    return documents.select("repo", "path", "commit", "t_brk", "t_fp").mapInPandas(
-        run, schema=SPAN_SCORES_SCHEMA
-    )
+    return documents.select(
+        "repo", "path", "commit", "t_brk", "t_fp", "t_word"
+    ).mapInPandas(run, schema=SPAN_SCORES_SCHEMA)

@@ -13,20 +13,22 @@ first END tag, or the sentence end).
 
 Here the same computation runs as batched NumPy inside an Arrow-fed
 pandas UDF, over the SAME shared token encodings as the biaffine
-scorer (the reference decoders share the lexical encoder channel):
-logits for all tokens of a sentence come from one matmul; the
-constrained argmax is precomputed vectorized for both automaton states
-(free: argmax over the O/B/S columns; forced(T): I(T) vs E(T)
-comparison), leaving only an O(1)-per-token state walk — the
-transition constraint is inherently sequential (same boundary as the
-resolver stage, SURVEY.md §4 risk #4).
+scorer (the reference decoders share the lexical encoder channel,
+carrying the full lexical-features.h inventory via
+kg.lexical.encode_tokens): the encoder and the logits matmul each run
+ONCE PER ARROW BATCH (all documents' tokens concatenated — the
+boundary-aware encoder makes slices equal per-sentence encodings), and
+the constrained argmax is precomputed vectorized for both automaton
+states (free: argmax over the O/B/S columns; forced(T): I(T) vs E(T)
+comparison), leaving only an O(1)-per-token state walk per sentence —
+the transition constraint is inherently sequential (same boundary as
+the resolver stage, SURVEY.md §4 risk #4).
 
 Weights are deterministic pseudo-random (seeded) — this reproduces the
 *execution shape* (scoring + constrained decode + batching), not a
 trained model; the silver pipeline remains the correctness path for
 triples, exactly as in the reference where the parser is trained FROM
-that silver data. The transition/caspar decoders' shift/mark action
-system is NOT reproduced (documented scope boundary, SURVEY.md §2.8).
+that silver data.
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .biaffine import DIM, PROJ, _rng, token_encodings
+from .biaffine import DIM, PROJ, _rng, sentence_bounds
 
 OUTSIDE, BEGIN, INSIDE, END, SINGLE = range(5)
 
@@ -53,11 +55,13 @@ class BioTagger:
         self.n_labels = 1 + 4 * n_types
         self.dim = dim
         g = _rng("bio-weights")
-        self.w1 = (g.standard_normal((dim, hidden)) / np.sqrt(dim)).astype(np.float32)
-        self.b1 = (g.standard_normal(hidden) * 0.1).astype(np.float32)
-        self.w2 = (
-            g.standard_normal((hidden, self.n_labels)) / np.sqrt(hidden)
-        ).astype(np.float32)
+        # float64 + logit quantization (see logits_from_encodings):
+        # the batched path scores arbitrary concatenations of sentences,
+        # and BLAS matmul results vary ~1e-7 (f32) with the row count —
+        # decode must be batch-size-invariant for the hash oracle
+        self.w1 = g.standard_normal((dim, hidden)) / np.sqrt(dim)
+        self.b1 = g.standard_normal(hidden) * 0.1
+        self.w2 = g.standard_normal((hidden, self.n_labels)) / np.sqrt(hidden)
         # allowed-label column sets per automaton state (ascending index
         # order — np.argmax's first-match tie-break then reproduces the
         # reference's ascending scan with strict '>', bio-decoder.cc:248)
@@ -67,21 +71,42 @@ class BioTagger:
         self._icols = np.array([2 + 4 * t for t in range(n_types)])
         self._ecols = np.array([3 + 4 * t for t in range(n_types)])
 
-    def logits(self, fps: np.ndarray) -> np.ndarray:
-        """(n, n_labels) token logits: shared encodings → one hidden
-        tanh layer → label scores. All-batch matmuls."""
-        h = token_encodings(fps, self.dim)
-        z = np.tanh(h @ self.w1 + self.b1)
-        return z @ self.w2
+    def logits(self, fps: np.ndarray, words=None, brks=None) -> np.ndarray:
+        """(n, n_labels) token logits: shared lexical encodings → one
+        hidden tanh layer → label scores. All-batch matmuls; callers
+        with many sentences should encode once and call
+        :meth:`logits_from_encodings` on the concatenation."""
+        from .lexical import encode_tokens
 
-    def decode(self, fps: np.ndarray) -> list[tuple[int, int, int, float]]:
+        return self.logits_from_encodings(
+            encode_tokens(fps, words, brks, dim=self.dim)
+        )
+
+    def logits_from_encodings(self, h: np.ndarray) -> np.ndarray:
+        """float64 matmuls quantized to 1e-4: slice-vs-batch BLAS
+        differences (~1e-15 at f64) vanish under the quantization, so
+        decoding a sentence from a whole-batch matmul is bit-identical
+        to decoding it alone — the invariant the Spark op's
+        one-matmul-per-Arrow-batch path and the driver-side oracle twin
+        both rely on."""
+        z = np.tanh(h.astype(np.float64) @ self.w1 + self.b1)
+        return np.round(z @ self.w2, 4)
+
+    def decode(self, fps: np.ndarray, words=None, brks=None
+               ) -> list[tuple[int, int, int, float]]:
         """Constrained greedy decode of one sentence → (begin, end,
         type, score) spans; score = sum of the chosen label logits over
         the span tokens (rounded by the caller)."""
-        n = len(fps)
+        if len(fps) == 0:
+            return []
+        return self.decode_logits(self.logits(fps, words, brks))
+
+    def decode_logits(self, lg: np.ndarray) -> list[tuple[int, int, int, float]]:
+        """Constrained greedy decode from precomputed logits (one
+        sentence's slice of a batch-level matmul)."""
+        n = len(lg)
         if n == 0:
             return []
-        lg = self.logits(fps)
         # vectorized per-state argmaxes (reference tie-break: lowest
         # index wins a tie; I(T) beats E(T) on equal logits because the
         # ascending scan only replaces on strictly greater)
@@ -123,26 +148,48 @@ class BioTagger:
 
 def bio_spans(documents: DataFrame, tagger: BioTagger | None = None) -> DataFrame:
     """documents (tokens layout, see build_documents) → (doc, sentence,
-    begin, end, type, score) BIO span rows. One mapInPandas pass;
-    logits/argmaxes are numpy-batched per sentence."""
+    begin, end, type, score) BIO span rows. One mapInPandas pass; the
+    lexical encoder and the logits matmul run ONCE per Arrow batch over
+    every document's concatenated tokens (verdict r3 item 5 — no
+    per-sentence tiny matmuls), then each sentence's logits slice runs
+    the O(n) constrained state walk."""
     tagger = tagger or BioTagger()
 
     def run(batches):
+        from .lexical import encode_tokens
+
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
+            docs = list(pdf.itertuples(index=False))
+            if docs:
+                # one encoder + matmul call for the whole batch: the
+                # boundary-aware encoder resets its context mix at
+                # sentence starts, and each document opens a sentence
+                # (its first brk is a document break), so concatenation
+                # never leaks context across documents
+                fps_all = np.concatenate(
+                    [np.asarray(r.t_fp, dtype=np.uint64) for r in docs]
+                )
+                words_all = [w for r in docs for w in r.t_word]
+                brks_all = np.concatenate(
+                    [np.asarray(r.t_brk, dtype=np.int64) for r in docs]
+                )
+                offs = np.cumsum([0] + [len(r.t_fp) for r in docs])
+                # document starts always open a sentence, whatever the
+                # first token's break level says
+                brks_all[offs[:-1][offs[:-1] < len(brks_all)]] = 3
+                lg_all = tagger.logits_from_encodings(
+                    encode_tokens(
+                        fps_all, words_all, brks_all, dim=tagger.dim,
+                        doc_starts=offs[:-1],
+                    )
+                )
+            for j, r in enumerate(docs):
+                off = int(offs[j])
                 brks = list(r.t_brk)
-                all_fps = list(r.t_fp)
-                bounds, start = [], 0
-                for i in range(1, len(brks)):
-                    if brks[i] >= 2:
-                        bounds.append((start, i))
-                        start = i
-                if brks:
-                    bounds.append((start, len(brks)))
-                for s_idx, (sb, se) in enumerate(bounds):
-                    fps = np.array(all_fps[sb:se], dtype=np.uint64)
-                    for b, e, typ, score in tagger.decode(fps):
+                for s_idx, (sb, se) in enumerate(sentence_bounds(brks)):
+                    decoded = tagger.decode_logits(lg_all[off + sb:off + se])
+                    for b, e, typ, score in decoded:
                         rows.append(
                             {
                                 "repo": r.repo,
@@ -161,6 +208,6 @@ def bio_spans(documents: DataFrame, tagger: BioTagger | None = None) -> DataFram
                          "begin", "end", "type", "score"],
             )
 
-    return documents.select("repo", "path", "commit", "t_brk", "t_fp").mapInPandas(
-        run, schema=BIO_SPANS_SCHEMA
-    )
+    return documents.select(
+        "repo", "path", "commit", "t_brk", "t_fp", "t_word"
+    ).mapInPandas(run, schema=BIO_SPANS_SCHEMA)

@@ -221,11 +221,19 @@ def test_bio_decoder_constrained_decode(spark):
         assert 0 <= typ < tagger.n_types
         last_end = e
     # the shared-encodings contract: bio logits read the SAME encodings
-    # as the biaffine scorer
-    from sling_spark.kg.biaffine import BiaffineScorer, token_encodings
+    # as the biaffine scorer (fp-only and full-lexical channels alike)
+    from sling_spark.kg.biaffine import BiaffineScorer, sentence_bounds, token_encodings
+    from sling_spark.kg.lexical import encode_tokens
 
     assert np.allclose(BiaffineScorer().embed(fps), token_encodings(fps))
-    # spark path == driver decode on the same documents
+    words = ["Alpha", "beta-x", '"', "42", "..."]
+    brks2 = [0, 0, 0, 2, 0]
+    assert np.allclose(
+        encode_tokens(fps[:5], words, brks2, dim=BiaffineScorer().dim),
+        encode_tokens(fps[:5], words, brks2, dim=BioTagger().dim),
+    )
+    # spark path (batch-level encode+matmul) == per-document driver
+    # decode on the same documents
     docs = build_documents(corpus_df(spark, 6, partitions=2), layout="tokens")
     got = {
         (r["repo"], r["path"], r["sentence"], r["begin"], r["end"], r["type"],
@@ -233,18 +241,16 @@ def test_bio_decoder_constrained_decode(spark):
         for r in bio_spans(docs, tagger).collect()
     }
     expected = set()
-    for r in docs.select("repo", "path", "commit", "t_brk", "t_fp").collect():
+    for r in docs.select("repo", "path", "commit", "t_brk", "t_fp", "t_word").collect():
         brks, all_fps = list(r["t_brk"]), list(r["t_fp"])
-        bounds, start = [], 0
-        for i in range(1, len(brks)):
-            if brks[i] >= 2:
-                bounds.append((start, i))
-                start = i
-        if brks:
-            bounds.append((start, len(brks)))
-        for s_idx, (sb, se) in enumerate(bounds):
-            sf = np.array(all_fps[sb:se], dtype=np.uint64)
-            for b, e, typ, score in tagger.decode(sf):
+        lg = tagger.logits_from_encodings(
+            encode_tokens(
+                np.array(all_fps, dtype=np.uint64), list(r["t_word"]), brks,
+                dim=tagger.dim,
+            )
+        )
+        for s_idx, (sb, se) in enumerate(sentence_bounds(brks)):
+            for b, e, typ, score in tagger.decode_logits(lg[sb:se]):
                 expected.add(
                     (r["repo"], r["path"], s_idx, sb + b, sb + e, typ,
                      round(score, 6))
