@@ -1702,6 +1702,58 @@ FROM (VALUES {values})
 """
 
 
+def q_kg_caspar_decode(spark, sf_dir):
+    """Greedy decode with the TRAINED caspar transition-scoring cascade
+    (the round-3 scope boundary, closed — reference
+    caspar-decoder.cc:105-123 ShiftMarkOther + classification delegates,
+    multiclass-delegate.h:33 softmax delegates): the cascade is trained
+    deterministically on the hash-verified gold transition sequences of
+    the 40-file fixture (full-batch GD, seeded init), then each document
+    of the 20-file corpus is decoded by masked delegate argmax driving
+    the exact ParserState automaton. Oracle: the identical train+decode
+    driver-side (same lru-cached model object), rendered as VALUES —
+    the hash certifies the DISTRIBUTED decode execution byte-for-byte."""
+    from .kg.caspar import caspar_decode, trained_model
+    from .kg.documents import build_documents
+    from .sources.corpus import corpus_df
+
+    model = trained_model("caspar", 40)
+    docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
+    return caspar_decode(docs, model)
+
+
+def _sql_caspar_decode() -> str:
+    """Driver-side twin: decode the same 20 documents with the same
+    trained model and render the action rows as a VALUES table."""
+    from .kg.caspar import TOK_DIM, trained_model
+    from .kg.lexical import encode_tokens
+    from .oracle.kg_oracle import latest_corpus
+
+    import numpy as np
+
+    model = trained_model("caspar", 40)
+    rows = []
+    for d in latest_corpus(20):
+        toks = d["tokens"]
+        enc = encode_tokens(
+            np.array([t.fp for t in toks], dtype=np.uint64),
+            [t.word for t in toks], [t.brk for t in toks], dim=TOK_DIM,
+        ).astype(np.float64)
+        for i, a in enumerate(model.decode(enc, len(toks))):
+            rows.append((d["repo"], d["path"], d["commit"], i) + a)
+    values = ", ".join(
+        f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {i}, "
+        f"{_sql_quote(a)}, {ln}, {s}, {tg}, {_sql_quote(ro)}, {_sql_quote(lb)})"
+        for r, p, c, i, a, ln, s, tg, ro, lb in rows
+    )
+    return f"""
+SELECT repo, path, "commit", idx::INT AS idx, action, length::INT AS length,
+       source::INT AS source, target::INT AS target, role, label
+FROM (VALUES {values})
+  AS t(repo, path, "commit", idx, action, length, source, target, role, label)
+"""
+
+
 def q_kg_phrase_structure(spark, sf_dir):
     """Sub-mention structure of resolved multi-word mentions (the
     phrase-structure annotator analog, reference
@@ -2176,6 +2228,7 @@ def queries():
         "kg_bio_spans": q_kg_bio_spans,
         "kg_transitions": q_kg_transitions,
         "kg_action_table": q_kg_action_table,
+        "kg_caspar_decode": q_kg_caspar_decode,
         "kg_phrase_structure": q_kg_phrase_structure,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -2238,6 +2291,7 @@ def oracle_sql():
         "kg_bio_spans": _sql_bio(),
         "kg_transitions": _sql_transitions(),
         "kg_action_table": _sql_action_table(),
+        "kg_caspar_decode": _sql_caspar_decode(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold
