@@ -1702,6 +1702,53 @@ FROM (VALUES {values})
 """
 
 
+def q_doc_wordpiece_vocab(spark, sf_dir):
+    """Wordpiece vocabulary INDUCTION over the corpus (the
+    wordpiece-builder.cc BPE algorithm — round-3 verdict item 3):
+    word frequencies are a distributed explode+hash aggregation over
+    the tokenized corpus (the 100 TB-scale half); the merge loop runs
+    over the bounded distinct-word table with the reference's exact
+    selection rule (max freq, then longer text, then lexicographic,
+    then leading-before-trailing) and neighbor-count adjustment.
+    Canonical input order: (word, freq) sorted by word. Oracle: the
+    identical induction driver-side over independently counted token
+    words. A DataFrame-iterative variant for uncollectable vocabularies
+    exists and is parity-tested (functions/wordpiece.py
+    distributed_merge_rounds)."""
+    from .functions.wordpiece import build_wordpiece_vocab, word_frequencies
+    from .kg.documents import build_documents
+    from .sources.corpus import corpus_df
+
+    docs = build_documents(corpus_df(spark, 40, partitions=4), layout="tokens")
+    wf = sorted(
+        (r["word"], r["freq"]) for r in word_frequencies(docs).collect()
+    )
+    vocab = build_wordpiece_vocab(wf, max_size=256)
+    return spark.createDataFrame(
+        [(i, p, int(f)) for i, (p, f) in enumerate(vocab)],
+        "piece_id int, piece string, freq long",
+    )
+
+
+def _sql_wordpiece_vocab() -> str:
+    from collections import Counter
+
+    from .functions.wordpiece import build_wordpiece_vocab
+    from .oracle.kg_oracle import latest_corpus
+
+    counts: Counter = Counter()
+    for d in latest_corpus(40):
+        counts.update(t.word for t in d["tokens"])
+    vocab = build_wordpiece_vocab(sorted(counts.items()), max_size=256)
+    values = ", ".join(
+        f"({i}, {_sql_quote(p)}, {int(f)})" for i, (p, f) in enumerate(vocab)
+    )
+    return f"""
+SELECT piece_id::INT AS piece_id, piece, freq::BIGINT AS freq
+FROM (VALUES {values}) AS t(piece_id, piece, freq)
+"""
+
+
 def q_kg_caspar_decode(spark, sf_dir):
     """Greedy decode with the TRAINED caspar transition-scoring cascade
     (the round-3 scope boundary, closed — reference
@@ -2210,6 +2257,7 @@ def queries():
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_wordpiece_vocab": q_doc_wordpiece_vocab,
         "emb_knn_bruteforce": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
         "emb_label_centroids": q_emb_centroids,
@@ -2292,6 +2340,7 @@ def oracle_sql():
         "kg_transitions": _sql_transitions(),
         "kg_action_table": _sql_action_table(),
         "kg_caspar_decode": _sql_caspar_decode(),
+        "doc_wordpiece_vocab": _sql_wordpiece_vocab(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold

@@ -237,66 +237,15 @@ def write_turtle(triples: DataFrame, path: str, **iri_kwargs) -> None:
     ).text(path)
 
 
-_TURTLE_TOKEN_RE = re.compile(
-    r'<[^>]*>|"(?:[^"\\]|\\.)*"|@prefix'
-    r"|[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_-]*|[;,.]"
-)
-_TURTLE_UNESCAPES = [("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"),
-                     ('\\"', '"'), ("\\\\", "\\")]
-
-
 def parse_turtle(text: str) -> list[tuple[str, str, str]]:
-    """Minimal Turtle reader for the interchange subset this engine
-    emits (the turtle.cc reader analog, scoped to: @prefix directives,
-    QNames, full IRIs, escaped string literals, ``;`` predicate groups,
-    ``,`` object lists). Returns (subj, pred, obj) with QNames expanded
-    through the declared prefixes — IRIs come back as ``<``-stripped
-    full IRIs, literals as unescaped strings."""
-    prefixes: dict[str, str] = {}
+    """Turtle reader (the turtle.cc reader analog): delegates to the
+    FULL-grammar parser in sources.turtle (directives, prefixed names,
+    blank nodes, collections, typed/lang literals, long strings,
+    numeric/boolean literals — round-3 verdict item 6), of which the
+    subset this engine's own emitter produces is a special case.
+    Returns (subj, pred, obj) with QNames expanded through the declared
+    prefixes — IRIs come back as ``<``-stripped full IRIs, literals as
+    unescaped strings."""
+    from ..sources.turtle import parse_turtle_full
 
-    def resolve(tok: str) -> str:
-        if tok.startswith("<"):
-            return tok[1:-1]
-        if tok.startswith('"'):
-            s = tok[1:-1]
-            # placeholder round-trip so '\\n' stays distinct from '\n'
-            s = s.replace("\\\\", "\x00")
-            for esc, raw in _TURTLE_UNESCAPES[:-1]:
-                s = s.replace(esc, raw)
-            return s.replace("\x00", "\\")
-        ns, _, local = tok.partition(":")
-        if ns not in prefixes:
-            raise ValueError(f"unknown prefix {ns!r}")
-        return prefixes[ns] + local
-
-    toks = _TURTLE_TOKEN_RE.findall(text)
-    out: list[tuple[str, str, str]] = []
-    i = 0
-    while i < len(toks):
-        if toks[i] == "@prefix":
-            name, iri, dot = toks[i + 1], toks[i + 2], toks[i + 3]
-            if not name.endswith(":") or not iri.startswith("<") or dot != ".":
-                raise ValueError("malformed @prefix directive")
-            prefixes[name[:-1]] = iri[1:-1]
-            i += 4
-            continue
-        subj = resolve(toks[i])
-        i += 1
-        while True:
-            pred = resolve(toks[i])
-            i += 1
-            while True:
-                out.append((subj, pred, resolve(toks[i])))
-                i += 1
-                if i < len(toks) and toks[i] == ",":
-                    i += 1
-                    continue
-                break
-            if i < len(toks) and toks[i] == ";":
-                i += 1
-                continue
-            break
-        if i >= len(toks) or toks[i] != ".":
-            raise ValueError("missing '.' after subject block")
-        i += 1
-    return out
+    return parse_turtle_full(text)

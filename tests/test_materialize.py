@@ -125,7 +125,7 @@ def test_turtle_export_roundtrip(spark, tmp_path):
         ("Q1", "P1", "Q3"),          # object list under one predicate
         ("Q1", "P6", "2014-02-27"),  # literal date
         ("Q1", "P9", 'say "hi"\n\\x'),  # escaping: quote, newline, backslash
-        ("Q2", "P2", "cc:ext1"),     # ref with colon -> full IRI
+        ("Q2", "P2", "github:ext1"),  # namespaced ref, colon -> full IRI
         ("i/odd id", "P1", "Q1"),    # non-PN_LOCAL subject -> full IRI
     ]
     df = spark.createDataFrame(rows, "subj string, pred string, obj string")
@@ -136,14 +136,14 @@ def test_turtle_export_roundtrip(spark, tmp_path):
     assert '"2014-02-27"' in q1
     assert '"say \\"hi\\"\\n\\\\x"' in q1     # escaped literal
     assert any(b.startswith("<http://example.org/kb/i/odd id>") for b in blocks)
-    assert any("<http://example.org/kb/cc:ext1>" in b for b in blocks)
+    assert any("<http://example.org/kb/github:ext1>" in b for b in blocks)
 
     # reader round-trip: parse(prefixes + blocks) == IRI-space input
     doc = turtle_prefixes() + "\n" + "\n".join(sorted(blocks))
     got = set(parse_turtle(doc))
     kb_, p_ = "http://example.org/kb/", "http://example.org/prop/"
     expected = {
-        (kb_ + s, p_ + p, kb_ + o if o in ("Q1", "Q2", "Q3", "cc:ext1") else o)
+        (kb_ + s, p_ + p, kb_ + o if o in ("Q1", "Q2", "Q3", "github:ext1") else o)
         for s, p, o in rows
     }
     assert got == expected
