@@ -1702,6 +1702,57 @@ FROM (VALUES {values})
 """
 
 
+def q_kg_delta_rebuild(spark, sf_dir):
+    """Incremental KB delta maintenance (the wikidaily analog,
+    python/crawl/wikidaily.py epoch-incremental semantics — round-3
+    verdict item 8): a deterministic delta batch (new Q1 revision, new
+    item, fragment tombstone) is applied by upsert + re-reconciling
+    ONLY the touched canonical ids (broadcast semi-joins; untouched
+    fused items carried over by anti-join), and the resulting KB
+    triples must equal a FULL rebuild over the upserted sources.
+    Oracle: the independent pure-Python reconciler fusing the same
+    upserted source list (VALUES). A pytest additionally asserts
+    incremental == full-rebuild parity inside Spark and that the
+    touched set is a strict subset of the KB."""
+    from .kg.assets import seed_dataframes
+    from .kg.delta import apply_kb_delta, delta_triples, demo_sources, full_rebuild
+    from .kg.xref import build_clusters
+
+    seed = seed_dataframes(spark)
+    clusters = build_clusters(seed["same_as"])
+    sources, delta = demo_sources(spark)
+    base = full_rebuild(sources, clusters)
+    res = apply_kb_delta(spark, sources, delta, clusters, base)
+    return delta_triples(res["kb_items"])
+
+
+def _sql_delta_rebuild() -> str:
+    from .kg.delta import demo_delta_rows, seed_source_rows
+    from .oracle.kg_oracle import build_clusters, merge_items
+
+    keys = {(d["id"], d["source_priority"]) for d in demo_delta_rows()}
+    upserted = [
+        r for r in seed_source_rows()
+        if (r["id"], r["source_priority"]) not in keys
+    ] + [
+        {k: v for k, v in d.items() if k != "deleted"}
+        for d in demo_delta_rows() if not d["deleted"]
+    ]
+    merged = merge_items(build_clusters(), sources=upserted)
+    rows = [
+        (it["id"], st["pid"], st["object"])
+        for it in merged
+        for st in it["statements"]
+    ]
+    values = ", ".join(
+        f"({_sql_quote(s)}, {_sql_quote(p)}, {_sql_quote(o)})"
+        for s, p, o in rows
+    )
+    return f"""
+SELECT subj, pred, obj FROM (VALUES {values}) AS t(subj, pred, obj)
+"""
+
+
 def q_doc_wordpiece_vocab(spark, sf_dir):
     """Wordpiece vocabulary INDUCTION over the corpus (the
     wordpiece-builder.cc BPE algorithm — round-3 verdict item 3):
@@ -2277,6 +2328,7 @@ def queries():
         "kg_transitions": q_kg_transitions,
         "kg_action_table": q_kg_action_table,
         "kg_caspar_decode": q_kg_caspar_decode,
+        "kg_delta_rebuild": q_kg_delta_rebuild,
         "kg_phrase_structure": q_kg_phrase_structure,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -2341,6 +2393,7 @@ def oracle_sql():
         "kg_action_table": _sql_action_table(),
         "kg_caspar_decode": _sql_caspar_decode(),
         "doc_wordpiece_vocab": _sql_wordpiece_vocab(),
+        "kg_delta_rebuild": _sql_delta_rebuild(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold

@@ -1,0 +1,218 @@
+"""Incremental KB delta maintenance — the wikidaily analog (round-3
+verdict item 8).
+
+Reference semantics: the reference keeps its KB fresh by applying
+daily Wikidata delta batches (python/crawl/wikidaily.py): each delta
+delivers new full revisions of changed source items; the store applies
+them epoch-incrementally and downstream consumers see a KB identical
+to a full rebuild over the updated dump. Here the same guarantee is
+maintained over the reconciler output: apply a delta batch of source
+items → re-reconcile ONLY the touched canonical ids → the fused
+kb_items table equals a full rebuild bit-for-bit (parity-tested and
+hash-verified by the kg_delta_rebuild contract query).
+
+Delta unit: a batch row carries a new full revision of one source's
+view of an item — replace semantics on the key (id, source_priority),
+with ``deleted = true`` tombstones retracting a source row entirely.
+
+Scale shape (what makes this O(delta), not O(KB)):
+
+1. the upsert is one anti-join on the (dimension-sized) delta key set
+   + a union — the base source table is never rewritten;
+2. the TOUCHED set = canonical ids of every replaced-or-new row's id
+   AND of their item-reference statement objects (objects matter
+   because inverse-property fragments flow to them) — computed from
+   the delta and the replaced rows only, never by scanning the KB;
+3. re-reconciliation reads back only sources whose canonical id is
+   touched (broadcast semi-join) plus the regenerated inverse
+   fragments targeting touched ids (a semi-join after the inversion
+   explode — at 10^9-item scale, pre-filter the inversion scan with a
+   statement-object semi-join to keep it delta-proportional too);
+4. untouched fused items are carried over by one anti-join; a
+   canonical id whose sources all vanished disappears (the anti-join
+   removes it and nothing re-adds it).
+
+Cluster (same-as) deltas are out of scope here by design: a same-as
+change alters canonicalization itself, and the xref build is
+dimension-sized — rerun build_clusters and treat every member of the
+changed components as touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .reconcile import (
+    _ITEM_REF_RE,
+    invert_statements,
+    kb_triples,
+    merge_items,
+    reconcile_items,
+)
+from .xref import canonicalize
+
+DELTA_KEY = ["id", "source_priority"]
+
+
+def full_rebuild(sources: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Fused kb_items from scratch: sources + derived inverse-property
+    fragments → reconcile → merge (the run_pipeline composition — the
+    parity target for the incremental path)."""
+    all_items = sources.unionByName(
+        invert_statements(sources), allowMissingColumns=True
+    )
+    return merge_items(reconcile_items(all_items, clusters))
+
+
+def _ref_objects(items: DataFrame) -> DataFrame:
+    """Distinct item-reference statement objects of the given rows."""
+    return (
+        items.select(F.explode("statements").alias("st"))
+        .select(F.col("st.object").alias("id"))
+        .filter(F.col("id").rlike(_ITEM_REF_RE))
+        .distinct()
+    )
+
+
+def _canon_ids(ids: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Map an id column through the cluster table (identity for
+    unclustered ids) → distinct canonical ids."""
+    return canonicalize(ids, clusters, "id").distinct()
+
+
+def apply_kb_delta(
+    spark: SparkSession,
+    sources: DataFrame,
+    delta: DataFrame,
+    clusters: DataFrame,
+    base_kb_items: DataFrame,
+) -> dict[str, DataFrame]:
+    """Apply a delta batch; returns ``sources`` (upserted),
+    ``touched`` (canonical ids re-reconciled) and ``kb_items`` (the
+    maintained fused table, == full_rebuild(upserted sources))."""
+    keys = delta.select(*DELTA_KEY).distinct()
+    replaced = sources.join(F.broadcast(keys), on=DELTA_KEY, how="left_semi")
+    live_delta = (
+        delta.filter(~F.col("deleted")).drop("deleted")
+        if "deleted" in delta.columns
+        else delta
+    )
+    upserted = sources.join(
+        F.broadcast(keys), on=DELTA_KEY, how="left_anti"
+    ).unionByName(live_delta)
+
+    # touched canonical ids: both sides of the replacement, ids and
+    # their referenced objects (inverse-fragment targets)
+    changed = replaced.unionByName(live_delta)
+    touched = _canon_ids(
+        changed.select("id")
+        .union(keys.select("id"))
+        .union(_ref_objects(changed).select("id"))
+        .distinct(),
+        clusters,
+    ).localCheckpoint()
+
+    # sources contributing to touched ids: own rows (by canonical id)
+    # + regenerated inverse fragments targeting a touched id
+    def canon_col(df: DataFrame, col: str) -> DataFrame:
+        out = df.withColumn("_cid", F.col(col))
+        return canonicalize(out, clusters, "_cid")
+
+    subset = (
+        canon_col(upserted, "id")
+        .join(
+            F.broadcast(touched.withColumnRenamed("id", "_cid")),
+            on="_cid", how="left_semi",
+        )
+        .drop("_cid")
+    )
+    inv_touched = (
+        canon_col(invert_statements(upserted), "id")
+        .join(
+            F.broadcast(touched.withColumnRenamed("id", "_cid")),
+            on="_cid", how="left_semi",
+        )
+        .drop("_cid")
+    )
+    rebuilt = merge_items(
+        reconcile_items(
+            subset.unionByName(inv_touched, allowMissingColumns=True), clusters
+        )
+    )
+    kb_items = base_kb_items.join(
+        F.broadcast(touched), on="id", how="left_anti"
+    ).unionByName(rebuilt)
+    return {"sources": upserted, "touched": touched, "kb_items": kb_items}
+
+
+def delta_triples(kb_items: DataFrame) -> DataFrame:
+    """(subj, pred, obj) projection of the maintained KB — the
+    comparable surface for the full-rebuild parity check."""
+    return kb_triples(kb_items).select("subj", "pred", "obj")
+
+
+# ---------------------------------------------------------------------------
+# deterministic demo delta (shared by the contract query, its oracle
+# twin and the parity tests)
+# ---------------------------------------------------------------------------
+
+
+def demo_delta_rows() -> list[dict]:
+    """A deterministic wikidaily-style batch over the seed KB:
+
+    - a new revision of Q1 (drops P4, coarsens the P6 date, adds an
+      inversion-pid statement P7→Q3 so a NEW inverse fragment flows to
+      Q3's canonical item);
+    - a brand-new item Q99 whose P1→Q2 statement sends Q2 an inverse;
+    - a tombstone retracting the github:apache/spark registry fragment
+      (its contributions to Q1's fused item must disappear)."""
+    return [
+        {
+            "id": "Q1", "source_priority": 0, "deleted": False,
+            "name": "Apache Spark", "types": ["framework"],
+            "statements": [
+                {"pid": "P1", "object": "Q2", "qualifiers": {}},
+                {"pid": "P2", "object": "Q15", "qualifiers": {}},
+                {"pid": "P5", "object": "Q20", "qualifiers": {}},
+                {"pid": "P6", "object": "2014-02", "qualifiers": {}},
+                {"pid": "P7", "object": "Q3", "qualifiers": {}},
+            ],
+        },
+        {
+            "id": "Q99", "source_priority": 1, "deleted": False,
+            "name": "Deltaware", "types": ["framework"],
+            "statements": [
+                {"pid": "P1", "object": "Q2", "qualifiers": {}},
+                {"pid": "P6", "object": "2020-01-01", "qualifiers": {}},
+            ],
+        },
+        {
+            "id": "github:apache/spark", "source_priority": 1,
+            "deleted": True, "name": None, "types": [], "statements": [],
+        },
+    ]
+
+
+def seed_source_rows() -> list[dict]:
+    """The base source-item table the seed KB is built from (entities
+    at priority 0 + the registry fragments)."""
+    from ..sources import kb
+
+    return [
+        dict(item, source_priority=0) for item in kb.entities()
+    ] + kb.source_item_fragments()
+
+
+def demo_sources(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(sources, delta) DataFrames for the demo batch."""
+    from .assets import ITEMS_DDL
+
+    sources = spark.createDataFrame(
+        seed_source_rows(), schema=ITEMS_DDL + ", source_priority int"
+    )
+    delta = spark.createDataFrame(
+        demo_delta_rows(),
+        schema=ITEMS_DDL + ", source_priority int, deleted boolean",
+    )
+    return sources, delta

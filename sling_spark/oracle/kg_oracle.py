@@ -761,10 +761,15 @@ def invert_statements(sources: list[dict]) -> list[dict]:
     return frags
 
 
-def merge_items(clusters: dict[str, str]) -> list[dict]:
-    sources = [
-        dict(item, source_priority=0) for item in kb.entities()
-    ] + kb.source_item_fragments()
+def merge_items(
+    clusters: dict[str, str], sources: list[dict] | None = None
+) -> list[dict]:
+    """Fuse canonical items. ``sources`` defaults to the seed KB's
+    source rows; the KB-delta oracle passes an upserted source list."""
+    if sources is None:
+        sources = [
+            dict(item, source_priority=0) for item in kb.entities()
+        ] + kb.source_item_fragments()
     sources = sources + invert_statements(sources)
     by_id: dict[str, list[tuple[int, dict]]] = defaultdict(list)
     for item in sources:
