@@ -1702,6 +1702,49 @@ FROM (VALUES {values})
 """
 
 
+_XML_FIXTURE = [
+    (1, '<library id="lib1" city="Oslo"><book isbn="123">'
+        "<title>Spark</title><author>A. Writer</author></book>"
+        "<book isbn='456'><title>Graphs</title></book><empty/>"
+        "<note>hello <b>bold</b> tail</note></library>"),
+    (2, "<feed><entry rank='1'>first</entry><entry rank='2'>second"
+        "</entry></feed>"),
+    (3, "<x>plain</x>"),
+]
+
+
+def q_kg_xml_frames(spark, sf_dir):
+    """XML frame import (the sling/frame/xml.cc reader analog): each
+    element becomes a slot named by its tag, attributes become frame
+    slots, text chunks land under the ``is`` role, single-text elements
+    collapse to strings — flattened to (subj, pred, obj) with
+    document-order blank nodes, salted per document. Oracle: the same
+    parse driver-side (VALUES) — the hash certifies the distributed
+    Arrow-batch execution of the identical slot algebra."""
+    from .sources.xmlframes import parse_xml_column
+
+    df = spark.createDataFrame(_XML_FIXTURE, "doc_id long, xml string")
+    return parse_xml_column(df, "doc_id", "xml")
+
+
+def _sql_xml_frames() -> str:
+    from .sources.xmlframes import xml_to_triples
+
+    rows = []
+    for did, text in _XML_FIXTURE:
+        for s, p, o in xml_to_triples(text):
+            salt = lambda t: t.replace("_:", f"_:d{did}.", 1) if t.startswith("_:") else t
+            rows.append((did, salt(s), p, salt(o)))
+    values = ", ".join(
+        f"({d}, {_sql_quote(s)}, {_sql_quote(p)}, {_sql_quote(o)})"
+        for d, s, p, o in rows
+    )
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, subj, pred, obj
+FROM (VALUES {values}) AS t(doc_id, subj, pred, obj)
+"""
+
+
 def q_kg_delta_rebuild(spark, sf_dir):
     """Incremental KB delta maintenance (the wikidaily analog,
     python/crawl/wikidaily.py epoch-incremental semantics — round-3
@@ -2329,6 +2372,7 @@ def queries():
         "kg_action_table": q_kg_action_table,
         "kg_caspar_decode": q_kg_caspar_decode,
         "kg_delta_rebuild": q_kg_delta_rebuild,
+        "kg_xml_frames": q_kg_xml_frames,
         "kg_phrase_structure": q_kg_phrase_structure,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
@@ -2394,6 +2438,7 @@ def oracle_sql():
         "kg_caspar_decode": _sql_caspar_decode(),
         "doc_wordpiece_vocab": _sql_wordpiece_vocab(),
         "kg_delta_rebuild": _sql_delta_rebuild(),
+        "kg_xml_frames": _sql_xml_frames(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold

@@ -154,3 +154,37 @@ def test_hypothesis_roundtrip(rows):
         expected.add((ns + s, ns + p, obj_val))
     got = set(parse_turtle_full("\n".join(lines)))
     assert got == expected
+
+
+def test_xml_frame_reader(spark, tmp_path):
+    """sling/frame/xml.cc slot algebra: elements -> slots, attributes ->
+    frame slots, single-text collapse, 'is' text role, empty -> nil;
+    distributed file reader salts blank nodes per file."""
+    from sling_spark.sources.xmlframes import (
+        XmlFrameError,
+        parse_xml_frame,
+        read_xml,
+        xml_to_triples,
+    )
+
+    doc = ('<library id="lib1"><book isbn="1"><title>T</title></book>'
+           "<empty/><note>a <b>x</b> b</note></library>")
+    triples = set(xml_to_triples(doc))
+    assert ("lib1", "xml:root", "library") in triples
+    book = next(o for s, p, o in triples if p == "book")
+    assert (book, "title", "T") in triples       # single-text collapse
+    assert ("lib1", "empty", "") in triples      # empty element -> nil
+    note = next(o for s, p, o in triples if p == "note")
+    assert (note, "is", "a ") in triples and (note, "is", " b") in triples
+    assert (note, "b", "x") in triples
+    assert parse_xml_frame("<x>plain</x>") == ("x", "plain")
+    import pytest as _pytest
+    with _pytest.raises(XmlFrameError):
+        xml_to_triples("<a><b></a>")
+
+    (tmp_path / "a.xml").write_text("<r><v>1</v></r>")
+    (tmp_path / "b.xml").write_text("<r><v>2</v></r>")
+    rows = {tuple(r) for r in read_xml(spark, str(tmp_path)).collect()}
+    assert {o for s, p, o in rows if p == "v"} == {"1", "2"}
+    subs = {s for s, p, o in rows}
+    assert len(subs) == 2 and all(s.startswith("_:f") for s in subs)
