@@ -900,6 +900,40 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 1
 """
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: the simhash pair list closed under
+    transitive connectivity (large-star/small-star connected
+    components, the same O(log n) machinery as identifier xref) →
+    (doc_id, keep_id = min id in component, cluster_size) — the
+    keep-list stage every corpus-dedup pipeline ends with (A~B and B~C
+    must not both survive with B deleted). Oracle: recursive-CTE
+    transitive closure + min-label in DuckDB over the identical pair
+    SQL."""
+    from .operators.dedup import dedup_clusters
+
+    return dedup_clusters(q_doc_simhash_pairs(spark, sf_dir))
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_sql_simhash_pairs()}) sp
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+closure(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT c.id, e.b FROM closure c JOIN edges e ON c.reach = e.a
+),
+lab AS (SELECT id, MIN(reach) AS keep_id FROM closure GROUP BY id),
+sz AS (SELECT keep_id, COUNT(*)::BIGINT AS cluster_size FROM lab GROUP BY keep_id)
+SELECT lab.id AS doc_id, lab.keep_id, sz.cluster_size
+FROM lab JOIN sz USING (keep_id)
+"""
+
+
 def _sql_simhash() -> str:
     h = _SQL_HASH.format(x="tok")
     votes = ", ".join(
@@ -2351,6 +2385,7 @@ def queries():
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_wordpiece_vocab": q_doc_wordpiece_vocab,
         "emb_knn_bruteforce": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
@@ -2439,6 +2474,7 @@ def oracle_sql():
         "doc_wordpiece_vocab": _sql_wordpiece_vocab(),
         "kg_delta_rebuild": _sql_delta_rebuild(),
         "kg_xml_frames": _sql_xml_frames(),
+        "doc_dedup_clusters": _sql_dedup_clusters(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold

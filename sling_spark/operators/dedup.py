@@ -357,6 +357,37 @@ def contamination_report(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the stage that turns any pair list
+    (minhash-LSH+jaccard, simhash, embedding near-dup) into a keep-list:
+    connected components over the pair graph, canonical representative
+    = min doc id per component. Returns (doc_id, keep_id, cluster_size)
+    for every document in at least one pair; untouched docs are absent
+    (identity fall-through — `keep = coalesce(keep_id, doc_id)` on the
+    consumer side, the same contract as the xref cluster map).
+
+    Scale shape: components use the same large-star/small-star
+    alternation as identifier xref (kg/xref.py — O(log n) rounds on any
+    topology; a chain of 10^6 near-dup pairs converges), then one
+    component-keyed partial-agg count. Transitive closure is the
+    CORRECT semantics for near-dup keep-lists at corpus scale: A~B and
+    B~C must not both survive with B deleted."""
+    from ..kg.xref import connected_components
+
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, on="component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keep_id"),
+        "cluster_size",
+    )
+
+
 def simhash_near_dup(
     sims: DataFrame,
     bands: int = 4,

@@ -579,3 +579,20 @@ def test_jaccard_stop_shingle_broadcast_guard(spark):
     as_rows = lambda df: sorted(map(tuple, df.collect()))
     assert as_rows(hinted) == as_rows(guarded) and as_rows(guarded)
     sh.unpersist()
+
+
+def test_dedup_clusters_transitive_keep_list(spark):
+    """Pair list -> keep-list: A~B, B~C collapse to one cluster with
+    keep = min id (transitive closure — B must not survive as both a
+    dup-of-A and a keeper-of-C); disjoint pair -> own cluster; docs in
+    no pair are absent (identity fall-through)."""
+    from sling_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["keep_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
