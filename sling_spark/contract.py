@@ -1897,7 +1897,30 @@ def q_kg_caspar_decode(spark, sf_dir):
     return caspar_decode(docs, model)
 
 
+def q_kg_knolex_decode(spark, sf_dir):
+    """Greedy decode with the trained KNOLEX cascade (reference
+    knolex-decoder.cc:118-151: MainDelegate SHIFT/MARK/CASCADE(1)/
+    CASCADE(2) + EvokeDelegate {EVOKE,REFER} + ConnectDelegate
+    {CONNECT,ASSIGN}) — the second trained delegate layout, same
+    training/decode machinery as kg_caspar_decode."""
+    from .kg.caspar import caspar_decode, trained_model
+    from .kg.documents import build_documents
+    from .sources.corpus import corpus_df
+
+    model = trained_model("knolex", 40)
+    docs = build_documents(corpus_df(spark, 20, partitions=4), layout="tokens")
+    return caspar_decode(docs, model)
+
+
+def _sql_knolex_decode() -> str:
+    return _sql_cascade_decode("knolex")
+
+
 def _sql_caspar_decode() -> str:
+    return _sql_cascade_decode("caspar")
+
+
+def _sql_cascade_decode(scheme: str) -> str:
     """Driver-side twin: decode the same 20 documents with the same
     trained model and render the action rows as a VALUES table."""
     from .kg.caspar import TOK_DIM, trained_model
@@ -1906,7 +1929,7 @@ def _sql_caspar_decode() -> str:
 
     import numpy as np
 
-    model = trained_model("caspar", 40)
+    model = trained_model(scheme, 40)
     rows = []
     for d in latest_corpus(20):
         toks = d["tokens"]
@@ -2406,6 +2429,7 @@ def queries():
         "kg_transitions": q_kg_transitions,
         "kg_action_table": q_kg_action_table,
         "kg_caspar_decode": q_kg_caspar_decode,
+        "kg_knolex_decode": q_kg_knolex_decode,
         "kg_delta_rebuild": q_kg_delta_rebuild,
         "kg_xml_frames": q_kg_xml_frames,
         "kg_phrase_structure": q_kg_phrase_structure,
@@ -2471,6 +2495,7 @@ def oracle_sql():
         "kg_transitions": _sql_transitions(),
         "kg_action_table": _sql_action_table(),
         "kg_caspar_decode": _sql_caspar_decode(),
+        "kg_knolex_decode": _sql_knolex_decode(),
         "doc_wordpiece_vocab": _sql_wordpiece_vocab(),
         "kg_delta_rebuild": _sql_delta_rebuild(),
         "kg_xml_frames": _sql_xml_frames(),

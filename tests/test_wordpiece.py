@@ -75,3 +75,46 @@ def test_induced_vocab_round_trips_the_corpus(spark):
         assert num != -1, f"OOV on corpus word {word!r}"
         rejoined = "".join(vocab[i].removeprefix("##") for i in ids)
         assert rejoined == word
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(codec="utf-8", categories=("L", "N")),
+                min_size=1, max_size=10,
+            ),
+            st.integers(1, 50),
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.integers(5, 300),
+)
+def test_builder_fuzz_roundtrip(words, max_size):
+    """Any vocabulary, any size cap: the builder terminates, respects
+    max_size, keeps [UNK] first, and — whenever the cap admits all
+    unigrams — the induced lexicon re-tokenizes every input word with
+    full coverage and marker-stripped pieces rejoin to the word."""
+    from sling_spark.functions.subword import SubwordTokenizer
+
+    freqs = {}
+    for w, f in words:
+        freqs[w] = freqs.get(w, 0) + f
+    vocab = build_wordpiece_vocab(sorted(freqs.items()), max_size=max_size)
+    pieces = [p for p, _f in vocab]
+    assert pieces[0] == "[UNK]"
+    assert len(vocab) <= max(
+        max_size, 1 + len({(c, i > 0) for w in freqs for i, c in enumerate(w)})
+    )
+    n_unigrams = len({(c, i > 0) for w in freqs for i, c in enumerate(w)})
+    if 1 + n_unigrams <= max_size:
+        tok = SubwordTokenizer(pieces, split_on_punctuation=False)
+        for w in freqs:
+            num, ids = tok.tokenize(w)
+            assert num != -1
+            assert "".join(pieces[i].removeprefix("##") for i in ids) == w
