@@ -900,6 +900,95 @@ FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 1
 """
 
 
+def q_doc_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity per document (the CCNet-style LM quality
+    filter): add-k smoothed conditional probabilities from corpus-wide
+    bigram/history counts, mean -log2 P per doc, perplexity = 2^mean.
+    All JVM column expressions; counts are two corpus aggregations and
+    scoring is key-joined (AQE broadcast-converts the vocabulary-sized
+    count tables when small). Oracle: identical algebra in DuckDB."""
+    from .operators.textstats import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lm_perplexity() -> str:
+    return r"""
+WITH pos AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+  ) t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+),
+big AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1 FROM pos),
+bc AS (SELECT bigram, count(*)::BIGINT AS cb FROM big GROUP BY bigram),
+hc AS (SELECT w1, count(*)::BIGINT AS ch FROM big GROUP BY w1),
+voc AS (
+  SELECT count(DISTINCT x)::BIGINT AS v FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS x
+    FROM documents
+  )
+),
+scored AS (
+  SELECT b.doc_id, -log2((bc.cb + 0.5) / (hc.ch + 0.5 * voc.v)) AS nll
+  FROM big b JOIN bc USING (bigram) JOIN hc USING (w1), voc
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll,
+       round(pow(2.0, round(avg(nll), 6)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (the published Gopher-style
+    repetition filters): top-bigram occupancy and duplicate-trigram
+    fraction per document — high values flag templated/looping text.
+    Two (doc, gram)-keyed partial aggregations + a doc rollup, all JVM.
+    Oracle: identical algebra in DuckDB."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_repetition_stats() -> str:
+    def gram_cte(n: int, name: str) -> str:
+        concat = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+        return f"""
+{name} AS (
+  SELECT doc_id, {concat} AS g FROM (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents
+  ) t, UNNEST(generate_series(1, len(w) - {n - 1 if n > 1 else 0})) AS u(i)
+  WHERE len(w) >= {n}
+)"""
+
+    return f"""
+WITH {gram_cte(2, "g2")}, {gram_cte(3, "g3")},
+p2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, sum(c)::BIGINT AS total, max(c)::BIGINT AS mx
+       FROM p2 GROUP BY doc_id),
+p3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY doc_id, g),
+a3 AS (SELECT doc_id, sum(c)::BIGINT AS total, count(*)::BIGINT AS dst
+       FROM p3 GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN len(string_split_regex(lower(trim(text)), '\\s+'))
+              ELSE 0 END::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT base.doc_id, base.n_tokens,
+       round(coalesce(a2.mx * 1.0 / a2.total, 0), 6) AS top_bigram_frac,
+       round(coalesce((a3.total - a3.dst) * 1.0 / a3.total, 0), 6)
+         AS dup_trigram_frac
+FROM base
+LEFT JOIN a2 ON base.doc_id = a2.doc_id
+LEFT JOIN a3 ON base.doc_id = a3.doc_id
+"""
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: the simhash pair list closed under
     transitive connectivity (large-star/small-star connected
@@ -2409,6 +2498,8 @@ def queries():
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
+        "doc_repetition_stats": q_doc_repetition_stats,
         "doc_wordpiece_vocab": q_doc_wordpiece_vocab,
         "emb_knn_bruteforce": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
@@ -2500,6 +2591,8 @@ def oracle_sql():
         "kg_delta_rebuild": _sql_delta_rebuild(),
         "kg_xml_frames": _sql_xml_frames(),
         "doc_dedup_clusters": _sql_dedup_clusters(),
+        "doc_lm_perplexity": _sql_lm_perplexity(),
+        "doc_repetition_stats": _sql_repetition_stats(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold

@@ -145,3 +145,110 @@ def ngram_profile(df: DataFrame, text_col: str = "text", n: int = 3, top: int = 
     return df.select(
         "*", F.explode(F.array_distinct(grams)).alias(f"gram{n}")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model scoring + repetition signals (pretraining QC)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_array(text: Column, n: int) -> Column:
+    """Array of word n-gram strings (with multiplicity), JVM-side:
+    lower → split → sliding concat_ws over an index sequence; short
+    documents yield an empty array."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model perplexity per document — the CCNet-style
+    quality-filtering signal (score documents by an n-gram LM trained
+    on the corpus; outliers on either end are boilerplate or garbage).
+    Model: P(w2|w1) = (C(w1 w2) + k) / (C(w1·) + k·V), add-k smoothing,
+    V = corpus vocabulary size; score = mean -log2 P over the
+    document's bigrams, perplexity = 2^score. Documents with no bigram
+    (fewer than two tokens) are absent.
+
+    Scale shape: counts are two corpus-wide hash aggregations with
+    map-side combine; scoring joins each document's bigram occurrences
+    against the count tables on their natural keys (bigram string /
+    history word) — count tables are vocabulary-sized, so the joins
+    shuffle by key and AQE broadcast-converts them when small; the
+    vocabulary size enters as one broadcast scalar. Everything is JVM
+    column expressions — no Python in the pipeline."""
+    big = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_ngram_array(F.col(text_col), 2)).alias("bigram"),
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    bcounts = big.groupBy("bigram").agg(F.count("*").cast("long").alias("cb"))
+    hcounts = big.groupBy("w1").agg(F.count("*").cast("long").alias("ch"))
+    vocab = docs.select(
+        F.explode(_ngram_array(F.col(text_col), 1)).alias("w")
+    ).agg(F.countDistinct("w").cast("long").alias("v"))
+    nll = -F.log2(
+        (F.col("cb") + F.lit(k)) / (F.col("ch") + F.lit(k) * F.col("v"))
+    )
+    return (
+        big.join(bcounts, on="bigram")
+        .join(hcounts, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+        .withColumn("perplexity", F.round(F.pow(F.lit(2.0), "avg_nll"), 6))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals — the published Gopher-style
+    repetition filters for pretraining corpora: the fraction of bigram
+    occurrences taken by the single most frequent bigram, and the
+    fraction of trigram occurrences that are duplicates. High values
+    flag templated/looping text. Two (doc, gram)-keyed partial
+    aggregations + one doc-keyed rollup, all JVM; short documents
+    report zero fractions."""
+
+    def frac(n: int, out: str, mode: str) -> DataFrame:
+        g = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_ngram_array(F.col(text_col), n)).alias("g"),
+        )
+        per = g.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+        agg = per.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias("total"),
+            (F.max("c") if mode == "top" else F.count("*").cast("long")).alias("x"),
+        )
+        val = (
+            F.col("x") / F.col("total")
+            if mode == "top"
+            else (F.col("total") - F.col("x")) / F.col("total")
+        )
+        return agg.select("doc_id", F.round(val, 6).alias(out))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.when(
+                F.length(F.trim(F.col(text_col))) > 0,
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(frac(2, "top_bigram_frac", "top"), on="doc_id", how="left")
+        .join(frac(3, "dup_trigram_frac", "dup"), on="doc_id", how="left")
+        .fillna(0.0, subset=["top_bigram_frac", "dup_trigram_frac"])
+    )

@@ -596,3 +596,49 @@ def test_dedup_clusters_transitive_keep_list(spark):
         for r in dedup_clusters(pairs).collect()
     }
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
+
+
+def test_lm_perplexity_hand_checked(spark):
+    """Formula check on a 2-doc corpus: 'a b a b' and 'a b c'.
+    Bigrams: (a b)x3, (b a)x1, (b c)x1; histories: a->3, b->2+... and
+    V=3. Each doc's mean -log2 P recomputed in pure Python."""
+    import math
+
+    from sling_spark.operators.textstats import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    cb = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    ch = {"a": 3, "b": 2}
+    V, k = 3, 0.5
+
+    def nll(w1, w2):
+        return -math.log2((cb[(w1, w2)] + k) / (ch[w1] + k * V))
+
+    d1 = (nll("a", "b") + nll("b", "a") + nll("a", "b")) / 3
+    d2 = (nll("a", "b") + nll("b", "c")) / 2
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 2
+    assert abs(got[1]["avg_nll"] - d1) < 1e-5
+    assert abs(got[2]["avg_nll"] - d2) < 1e-5
+    assert abs(got[1]["perplexity"] - 2 ** round(d1, 6)) < 1e-5
+    # the repeated-bigram doc is MORE probable under the corpus LM
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+
+
+def test_repetition_stats_hand_checked(spark):
+    from sling_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"),      # bigrams: (x y)x3,(y x)x2 -> top 3/5
+         (2, "a b c d e"),        # all distinct -> top 1/4, dup 0
+         (3, "w"),                # too short -> zero fracs
+         (4, "r r r r")],         # trigram (r r r)x2 -> dup 1/2
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 6 and abs(got[1]["top_bigram_frac"] - 0.6) < 1e-6
+    assert got[2]["top_bigram_frac"] == 0.25 and got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
+    assert abs(got[4]["dup_trigram_frac"] - 0.5) < 1e-6
