@@ -142,13 +142,16 @@ def run_pipeline(
     doc_t = canonicalize(doc_t, clusters, "subj")
     doc_t = canonicalize(doc_t, clusters, "obj")
 
-    all_items = seed["items"].withColumn("source_priority", F.lit(0)).unionByName(
-        seed["fragments"]
-    )
+    # raw (non-derived) source rows — also the input contract of the
+    # incremental delta maintainer (kg/delta.py), so deployments persist
+    # it alongside kb_items (tools/submit_pipeline.py writes sources/)
+    kb_sources = seed["items"].withColumn(
+        "source_priority", F.lit(0)
+    ).unionByName(seed["fragments"])
     # inverse-property fragments keyed by target (reconciler.cc:97-273)
     # join the fuse exactly like any other source item fragment
-    all_items = all_items.unionByName(
-        invert_statements(all_items), allowMissingColumns=True
+    all_items = kb_sources.unionByName(
+        invert_statements(kb_sources), allowMissingColumns=True
     )
     merged = _materialize(
         merge_items(reconcile_items(all_items, clusters)),
@@ -170,6 +173,7 @@ def run_pipeline(
         "mentions": mentions,
         "relations": relations,
         "clusters": clusters,
+        "kb_sources": kb_sources,
         "kb_items": merged,
         "triples": triples,
     }

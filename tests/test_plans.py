@@ -252,3 +252,23 @@ def test_contamination_broadcasts_benchmark(spark):
     # common prefix/suffix shingles but not the zeta{i} ones
     assert rows[0]["contamination"] == 1.0
     assert 0 < rows[1]["contamination"] < 1.0
+
+
+def test_lm_perplexity_stays_jvm_and_partial_aggs(spark):
+    """The LM scorer must stay inside whole-stage codegen: no Python
+    eval anywhere (the whole point of the column-expression design),
+    partial aggregation on the count tables, and projection pruning on
+    the documents scan (doc_id + text only)."""
+    df = contract.q_doc_lm_perplexity(spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert_partial_aggregation(df)
+    assert_pruned_schema(df, "documents", 2)
+
+
+def test_repetition_stats_stays_jvm(spark):
+    df = contract.q_doc_repetition_stats(spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert_partial_aggregation(df)
+    assert_pruned_schema(df, "documents", 2)

@@ -72,6 +72,10 @@ def main() -> None:
     )
     write_triples(res["triples"], f"{args.output}/triples")
     res["kb_items"].write.mode("overwrite").parquet(f"{args.output}/kb_items")
+    # delta-maintenance inputs (tools/apply_delta.py): the raw source
+    # rows and the cluster map this build fused from
+    res["kb_sources"].write.mode("overwrite").parquet(f"{args.output}/sources")
+    res["clusters"].write.mode("overwrite").parquet(f"{args.output}/clusters")
     metrics = extraction_metrics(res["doc_stats"], res["mentions"], res["relations"])
     metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
 
