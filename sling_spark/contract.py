@@ -989,6 +989,70 @@ LEFT JOIN a3 ON base.doc_id = a3.doc_id
 """
 
 
+_PII_PLANTED = [
+    (300001, "contact a.user@example.com or visit "
+             "https://spark.apache.org/docs now"),
+    (300002, "server at 192.168.0.1 ssn 123456789 and card "
+             "4111111111111111 ok"),
+    (300003, "mixed https://u:p@host.io/path?q=1 plus admin@host.io "
+             "at 10.0.0.7"),
+]
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII/URL redaction pass (standard pretraining scrubbing): URLs,
+    emails, IPv4s and long id-like digit runs replaced by placeholder
+    tokens, applied in a fixed order on the progressively scrubbed text
+    (URLs first, so credentials inside a URL vanish with it) with
+    per-rule redaction counts. Pure JVM regexp expressions; the
+    patterns are RE2-compatible so DuckDB evaluates the identical
+    regexes. Fixture: 50 corpus docs (no PII — counts must be zero)
+    plus planted PII-bearing rows."""
+    from .operators.textstats import pii_scrub
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+        .unionByName(spark.createDataFrame(_PII_PLANTED, "doc_id long, text string"))
+    )
+    return pii_scrub(docs)
+
+
+def _sql_pii_scrub() -> str:
+    from .operators.textstats import PII_RULES
+
+    planted = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, {_sql_quote(t)} AS text" for i, t in _PII_PLANTED
+    )
+    # interleaved count/step expressions using DuckDB lateral column
+    # alias references (each expression only reads aliases defined
+    # EARLIER in the same select list)
+    items = []
+    prev = "text"
+    for j, (name, pat, rep) in enumerate(PII_RULES):
+        items.append(
+            f"len(regexp_extract_all({prev}, '{pat}'))::BIGINT AS n_{name}"
+        )
+        items.append(f"regexp_replace({prev}, '{pat}', '{rep}', 'g') AS t{j}")
+        prev = f"t{j}"
+    total = " + ".join(f"n_{name}" for name, _p, _r in PII_RULES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+  UNION ALL {planted}
+),
+scrubbed AS (
+  SELECT doc_id, {", ".join(items)}
+  FROM base
+)
+SELECT doc_id, {prev} AS clean_text,
+       {", ".join(f"n_{name}" for name, _p, _r in PII_RULES)},
+       ({total})::BIGINT AS n_redactions
+FROM scrubbed
+"""
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: the simhash pair list closed under
     transitive connectivity (large-star/small-star connected
@@ -2500,6 +2564,7 @@ def queries():
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_wordpiece_vocab": q_doc_wordpiece_vocab,
         "emb_knn_bruteforce": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
@@ -2593,6 +2658,7 @@ def oracle_sql():
         "doc_dedup_clusters": _sql_dedup_clusters(),
         "doc_lm_perplexity": _sql_lm_perplexity(),
         "doc_repetition_stats": _sql_repetition_stats(),
+        "doc_pii_scrub": _sql_pii_scrub(),
         "kg_phrase_structure": _sql_phrase_structure(),
         "kg_lex": _sql_kg_lex(),
         # streaming reproduces the batch triples -> same independent gold

@@ -252,3 +252,44 @@ def repetition_stats(
         .join(frac(3, "dup_trigram_frac", "dup"), on="doc_id", how="left")
         .fillna(0.0, subset=["top_bigram_frac", "dup_trigram_frac"])
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scrubbing (pretraining redaction pass)
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) applied IN ORDER on the progressively
+#: scrubbed text — URLs first so credentials/emails inside a URL vanish
+#: with it; per-step counts therefore equal replacements actually made.
+#: Patterns are deliberately RE2-compatible (no backrefs/lookaround) so
+#: the DuckDB oracle evaluates the identical regexes.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact URLs, emails, IPv4 addresses and long id-like digit runs
+    — the standard pretraining-corpus scrubbing pass. Pure JVM
+    regexp_count/regexp_replace column expressions (whole-stage
+    codegen; at 100 TB this is a narrow map over the corpus scan, no
+    shuffle). Returns (doc_id, clean_text, n_url, n_email, n_ipv4,
+    n_idnum, n_redactions)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), cur.alias("clean_text"), *counts
+    )
+    total = None
+    for name, _p, _r in PII_RULES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_redactions", total.cast("long"))

@@ -642,3 +642,20 @@ def test_repetition_stats_hand_checked(spark):
     assert got[2]["top_bigram_frac"] == 0.25 and got[2]["dup_trigram_frac"] == 0.0
     assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
     assert abs(got[4]["dup_trigram_frac"] - 0.5) < 1e-6
+
+
+def test_pii_scrub_hand_checked(spark):
+    from sling_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.io and https://x.io/u@v.com then 10.0.0.1 id 123456789"),
+         (2, "clean text only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    r = got[1]
+    # URL eaten first, so the email inside it never counts
+    assert r["n_url"] == 1 and r["n_email"] == 1
+    assert r["n_ipv4"] == 1 and r["n_idnum"] == 1 and r["n_redactions"] == 4
+    assert r["clean_text"] == "mail <EMAIL> and <URL> then <IP> id <NUM>"
+    assert got[2]["n_redactions"] == 0 and got[2]["clean_text"] == "clean text only"
