@@ -50,8 +50,12 @@ RDF_FIRST = RDF + "first"
 RDF_REST = RDF + "rest"
 RDF_NIL = RDF + "nil"
 
+#: decimal/double forms REQUIRE digits after the dot — ``1.`` is the
+#: integer 1 followed by the statement terminator, never a number
+#: (matching the W3C INTEGER/DECIMAL/DOUBLE productions)
 _NUM_RE = re.compile(
-    r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.?\d+(?:[eE][+-]?\d+)?|\d+)"
+    r"[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
+    r"|\d+[eE][+-]?\d+|\d+)"
 )
 _PNAME_RE = re.compile(r"(?:[A-Za-z_][\w.-]*)?:(?:[\w.%-]|\\[-_~.!$&'()*+,;=/?#@%])*")
 _BLANK_RE = re.compile(r"_:[\w-]+")
@@ -160,6 +164,8 @@ class TurtleParser:
                 return "".join(out)
             c = t[self.pos]
             if c == "\\":
+                if self.pos + 1 >= n:
+                    raise TurtleError("dangling escape at end of input")
                 e = t[self.pos + 1]
                 if e == "u":
                     out.append(chr(int(t[self.pos + 2:self.pos + 6], 16)))
@@ -245,10 +251,12 @@ class TurtleParser:
 
     def _predicate(self) -> str:
         self._skip_ws()
-        if re.match(r"a[\s<#(\[]", self.text[self.pos:self.pos + 2] or "a "):
-            if self.text[self.pos] == "a":
-                self.pos += 1
-                return RDF_TYPE
+        # the 'a' keyword: a lone 'a' followed by anything that can
+        # start an object (whitespace, IRI, string, collection, blank
+        # node, comment) — but not a pname like 'a:x' or 'ab:x'
+        if re.match(r"a[\s<#(\[\"'_]", self.text[self.pos:self.pos + 2] or ""):
+            self.pos += 1
+            return RDF_TYPE
         if self._peek() == "<":
             return self._iriref()
         tok = self._match_re(_PNAME_RE)
@@ -312,8 +320,19 @@ class TurtleParser:
             self._skip_ws()
             if self.pos >= len(self.text):
                 return self.triples
-            low = self.text[self.pos:self.pos + 7].lower()
-            if low.startswith("@prefix") or low.startswith("prefix"):
+            low = self.text[self.pos:self.pos + 8].lower()
+
+            def _kw(word: str) -> bool:
+                # keyword match with a boundary check: a SUBJECT pname
+                # like ``prefix:x`` or ``based:y`` must NOT be taken for
+                # a directive — the keyword must be followed by
+                # whitespace/comment (or '<' for the SPARQL BASE form)
+                if not low.startswith(word):
+                    return False
+                nxt = self.text[self.pos + len(word):self.pos + len(word) + 1]
+                return nxt in ("", " ", "\t", "\r", "\n", "#", "<")
+
+            if _kw("@prefix") or _kw("prefix"):
                 self.pos += 7 if low.startswith("@prefix") else 6
                 self._skip_ws()
                 tok = self._match_re(_PNAME_RE)
@@ -322,7 +341,7 @@ class TurtleParser:
                 self.prefixes[tok[:-1]] = self._iriref()
                 self._match(".")  # '.' required after '@prefix' only
                 continue
-            if low.startswith("@base") or low.startswith("base"):
+            if _kw("@base") or _kw("base"):
                 self.pos += 5 if low.startswith("@base") else 4
                 self.base = self._iriref()
                 self._match(".")

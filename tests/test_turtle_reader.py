@@ -188,3 +188,26 @@ def test_xml_frame_reader(spark, tmp_path):
     assert {o for s, p, o in rows if p == "v"} == {"1", "2"}
     subs = {s for s, p, o in rows}
     assert len(subs) == 2 and all(s.startswith("_:f") for s in subs)
+
+
+def test_parser_edge_cases_from_review():
+    """Regression fixtures for grammar corners: integer followed
+    directly by the statement dot ('1.' is int 1 + terminator, not a
+    number), subjects whose pname STARTS with a directive keyword,
+    'a' keyword before quoted objects, and dangling escapes."""
+    ns = "http://x/"
+    t = parse_turtle_full("@prefix h: <http://x/> .\nh:s h:p 1.\nh:s h:q -3.5 .")
+    assert (ns + "s", ns + "p", "1") in t
+    assert (ns + "s", ns + "q", "-3.5") in t
+    # pname subjects that begin with 'prefix'/'base' are NOT directives
+    t = parse_turtle_full(
+        "@prefix prefix: <http://p/> .\n@prefix based: <http://b/> .\n"
+        "prefix:x based:y prefix:z .\nbased:a a based:T ."
+    )
+    assert ("http://p/x", "http://b/y", "http://p/z") in t
+    assert ("http://b/a", RDF_TYPE, "http://b/T") in t
+    # 'a' keyword directly before a quoted object / blank node
+    t = parse_turtle_full('@prefix h: <http://x/> .\nh:s a"T" .')
+    assert (ns + "s", RDF_TYPE, "T") in t
+    with pytest.raises(TurtleError):
+        parse_turtle_full('<a> <b> "x\\')
