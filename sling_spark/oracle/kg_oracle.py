@@ -19,6 +19,7 @@ import hashlib
 import math
 import re
 from collections import defaultdict
+from functools import lru_cache
 
 from ..functions.dates import month_of_word
 from ..functions.fingerprint import FP_SKIPPED, fingerprint_cat
@@ -824,7 +825,16 @@ def merge_items(
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=4)
 def run(n_files: int = 200) -> dict:
+    """Full oracle pipeline. Cached per corpus size — the contract
+    oracles and the cascade-training fixture share one run (callers
+    treat the result as read-only; all in-repo consumers copy before
+    sorting/mutating)."""
+    return _run_uncached(n_files)
+
+
+def _run_uncached(n_files: int) -> dict:
     docs = latest_corpus(n_files)
     pt = build_phrase_table()
     idf = build_idf(docs)
