@@ -153,6 +153,90 @@ def delta_triples(kb_items: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming maintenance (the wikidaily DAILY-drop shape)
+# ---------------------------------------------------------------------------
+
+
+def stream_kb_deltas(
+    spark: SparkSession,
+    delta_path: str,
+    state_dir: str,
+    clusters: DataFrame,
+    checkpoint: str,
+) -> None:
+    """Structured-Streaming KB maintenance: delta-batch parquet drops
+    under ``delta_path`` are applied onto a versioned KB state via
+    foreachBatch — the streaming form of the wikidaily epoch loop.
+
+    State layout: ``state_dir/v<N>/{sources,kb_items}`` plus a
+    ``_current`` pointer file. Each micro-batch reads the current
+    state, runs :func:`apply_kb_delta`, writes the next version and
+    atomically advances the pointer — exactly-once because the file
+    source's checkpointed offsets never replay a committed batch, and
+    a crash BEFORE the pointer flip simply rewrites the same version
+    on replay (idempotent). Batches whose keys overlap must be ordered
+    upstream (one drop per epoch — the daily-delta contract); the
+    pointer history doubles as a rollback chain.
+
+    Blocks until all currently-available drops are applied
+    (availableNow trigger)."""
+    import os
+
+    from .assets import ITEMS_DDL
+
+    def current_version() -> int:
+        ptr = os.path.join(state_dir, "_current")
+        if not os.path.exists(ptr):
+            return 0
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ver = current_version()
+        base = os.path.join(state_dir, f"v{ver}")
+        nxt = os.path.join(state_dir, f"v{ver + 1}")
+        sources = spark.read.parquet(os.path.join(base, "sources"))
+        kb_items = spark.read.parquet(os.path.join(base, "kb_items"))
+        res = apply_kb_delta(spark, sources, batch_df, clusters, kb_items)
+        res["sources"].write.mode("overwrite").parquet(
+            os.path.join(nxt, "sources")
+        )
+        res["kb_items"].write.mode("overwrite").parquet(
+            os.path.join(nxt, "kb_items")
+        )
+        tmp = os.path.join(state_dir, "_current.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(ver + 1))
+        os.replace(tmp, os.path.join(state_dir, "_current"))
+
+    stream = spark.readStream.schema(
+        ITEMS_DDL + ", source_priority int, deleted boolean"
+    ).option("maxFilesPerTrigger", 1).parquet(delta_path)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def init_kb_state(
+    sources: DataFrame, clusters: DataFrame, state_dir: str
+) -> None:
+    """Write version 0 of the streaming-maintenance state."""
+    import os
+
+    base = os.path.join(state_dir, "v0")
+    sources.write.mode("overwrite").parquet(os.path.join(base, "sources"))
+    full_rebuild(sources, clusters).write.mode("overwrite").parquet(
+        os.path.join(base, "kb_items")
+    )
+    with open(os.path.join(state_dir, "_current"), "w") as f:
+        f.write("0")
+
+
+# ---------------------------------------------------------------------------
 # deterministic demo delta (shared by the contract query, its oracle
 # twin and the parity tests)
 # ---------------------------------------------------------------------------

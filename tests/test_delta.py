@@ -85,3 +85,55 @@ def test_delta_deletion_removes_vanished_item(spark):
     assert _item_rows(res2["kb_items"]) == _item_rows(
         full_rebuild(res2["sources"], clusters)
     )
+
+
+def test_streaming_delta_maintenance(spark, tmp_path):
+    """Structured-Streaming wikidaily loop: two delta drops applied as
+    separate micro-batches (maxFilesPerTrigger=1) through versioned
+    foreachBatch state — the final KB equals a full rebuild over all
+    deltas, and the version chain reflects both applications."""
+    import os
+
+    from sling_spark.kg.assets import ITEMS_DDL
+    from sling_spark.kg.delta import init_kb_state, stream_kb_deltas
+
+    seed = seed_dataframes(spark)
+    clusters = build_clusters(seed["same_as"])
+    sources, demo_delta = demo_sources(spark)
+    state = str(tmp_path / "state")
+    init_kb_state(sources, clusters, state)
+
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops)
+    # drop 1: the demo batch; drop 2: a disjoint-key follow-up revision
+    demo_delta.coalesce(1).write.parquet(drops + "/batch1")
+    batch2 = spark.createDataFrame(
+        [{"id": "Q15", "source_priority": 1, "deleted": False,
+          "name": "Scala (updated)", "types": ["language"],
+          "statements": [{"pid": "P2", "object": "Q15", "qualifiers": {}}]}],
+        schema=ITEMS_DDL + ", source_priority int, deleted boolean",
+    )
+    batch2.coalesce(1).write.parquet(drops + "/batch2")
+    # the file source lists leaf files recursively under the glob
+    stream_kb_deltas(
+        spark, drops + "/*", state, clusters, str(tmp_path / "ckpt")
+    )
+
+    with open(os.path.join(state, "_current")) as f:
+        ver = int(f.read())
+    assert ver == 2
+    final = spark.read.parquet(os.path.join(state, f"v{ver}", "kb_items"))
+    expected = full_rebuild(
+        spark.read.parquet(os.path.join(state, f"v{ver}", "sources")), clusters
+    )
+    assert _item_rows(final) == _item_rows(expected)
+    # both drops really landed
+    triples = {tuple(r) for r in delta_triples(final).collect()}
+    assert ("Q99", "P1", "Q2") in triples          # from drop 1
+    assert any(s == "Q15" and p == "P2" for s, p, o in triples)  # drop 2
+    # replaying with the same checkpoint applies nothing (exactly-once)
+    stream_kb_deltas(
+        spark, drops + "/*", state, clusters, str(tmp_path / "ckpt")
+    )
+    with open(os.path.join(state, "_current")) as f:
+        assert int(f.read()) == 2
