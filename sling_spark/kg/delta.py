@@ -90,7 +90,12 @@ def apply_kb_delta(
 ) -> dict[str, DataFrame]:
     """Apply a delta batch; returns ``sources`` (upserted),
     ``touched`` (canonical ids re-reconciled) and ``kb_items`` (the
-    maintained fused table, == full_rebuild(upserted sources))."""
+    maintained fused table, == full_rebuild(upserted sources)).
+
+    Chaining: the returned DataFrames are lazy plans over their inputs
+    — apply epochs through persisted state (tools/apply_delta.py or
+    :func:`stream_kb_deltas`, which parquet-materialize each version)
+    so lineage never grows across epochs."""
     keys = delta.select(*DELTA_KEY).distinct()
     replaced = sources.join(F.broadcast(keys), on=DELTA_KEY, how="left_semi")
     live_delta = (

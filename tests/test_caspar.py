@@ -101,3 +101,39 @@ def test_knolex_cascade_structure(gold):
     decoded = m.decode(docs[6]["enc"], docs[6]["n_tokens"])
     apply_transitions(decoded)
     assert sum(1 for a in decoded if a[0] == SHIFT) == docs[6]["n_tokens"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["Spark", "uses", "the", "phrase", "table", "Apache",
+             "2014-02-27", "release", ".", "scala", "runs", "on"]
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_decode_fuzz_always_wellformed(words):
+    """Any token sequence: greedy decode terminates (per-token action
+    budget), emits exactly one SHIFT per token, and replays through the
+    ParserState automaton without error — the masking contract under
+    inputs far outside the training distribution."""
+    import numpy as np
+
+    from sling_spark.functions.fingerprint import token_fp
+    from sling_spark.kg.caspar import TOK_DIM, trained_model
+    from sling_spark.kg.lexical import encode_tokens
+
+    model = trained_model("caspar", 40)
+    fps = np.array([token_fp(w) for w in words], dtype=np.uint64)
+    brks = [0] * len(words)
+    enc = encode_tokens(fps, words, brks, dim=TOK_DIM).astype(np.float64)
+    decoded = model.decode(enc, len(words))
+    assert sum(1 for a in decoded if a[0] == SHIFT) == len(words)
+    rep = apply_transitions(decoded)
+    for b, e, _f in rep["spans"]:
+        assert 0 <= b < e <= len(words)
