@@ -272,3 +272,24 @@ def test_repetition_stats_stays_jvm(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert_partial_aggregation(df)
     assert_pruned_schema(df, "documents", 2)
+
+
+def test_delta_carryover_never_shuffles_the_kb(spark):
+    """The O(delta) claim, structurally: the untouched-item carry-over
+    is a broadcast anti-join (touched side broadcast), never a
+    sort-merge exchange of the full kb_items table."""
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.delta import apply_kb_delta, demo_sources, full_rebuild
+    from sling_spark.kg.xref import build_clusters
+
+    seed = seed_dataframes(spark)
+    clusters = build_clusters(seed["same_as"])
+    sources, delta = demo_sources(spark)
+    base = full_rebuild(sources, clusters)
+    res = apply_kb_delta(spark, sources, delta, clusters, base)
+    plan = formatted_plan(res["kb_items"])
+    import re
+
+    anti = [m for m in re.findall(r"\w*HashJoin\w*.*LeftAnti|SortMergeJoin.*LeftAnti", plan)]
+    assert any("Broadcast" in a for a in anti), plan[:2000]
+    assert not any("SortMergeJoin" in a for a in anti), anti
