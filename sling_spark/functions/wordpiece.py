@@ -231,13 +231,15 @@ def distributed_merge_rounds(
     in exchange for a stateless MapReduce round."""
     import pandas as pd
 
-    # symbol ids: unigrams are "<ch>" / "#<ch>" (leading/trailing);
-    # merges get "m<k>". The driver-side table maps id -> (text,
-    # trailing) for tie-breaking and final rendering.
+    # symbol ids: unigrams are "L<ch>" / "T<ch>" (leading/trailing —
+    # an explicit role byte, NOT a '#' prefix, so words that CONTAIN
+    # '#' never collide with the marker); merges get "m<k>". The
+    # driver-side table maps id -> (text, trailing) for tie-breaking
+    # and final rendering.
     def encode(batches):
         for pdf in batches:
             pieces = [
-                [("#" if i > 0 else "") + ch for i, ch in enumerate(w)]
+                [("T" if i > 0 else "L") + ch for i, ch in enumerate(w)]
                 for w in pdf["word"]
             ]
             yield pd.DataFrame(
@@ -251,8 +253,7 @@ def distributed_merge_rounds(
     symtab: dict[str, tuple[str, bool]] = {}
     for row in words.select(F.explode("pieces").alias("p")).distinct().collect():
         p = row["p"]
-        trailing = p.startswith("#")
-        symtab[p] = (p[1:] if trailing else p, trailing)
+        symtab[p] = (p[1:], p[0] == "T")
 
     merges: list[tuple[str, int]] = []
     for k in range(n_merges):

@@ -118,3 +118,16 @@ def test_builder_fuzz_roundtrip(words, max_size):
             num, ids = tok.tokenize(w)
             assert num != -1
             assert "".join(pieces[i].removeprefix("##") for i in ids) == w
+
+
+def test_distributed_rounds_handle_hash_characters(spark):
+    """Words containing literal '#' must not collide with any internal
+    trailing-piece marker (review regression: the id encoding carries
+    an explicit role byte)."""
+    words = [("#tag", 9), ("tag", 6), ("##x", 4)]
+    full = build_wordpiece_vocab(words, max_size=1000)
+    n_unigrams = len({(ch, i > 0) for w, _ in words for i, ch in enumerate(w)})
+    expected = full[1 + n_unigrams:]
+    wf = spark.createDataFrame(words, "word string, freq long")
+    got = distributed_merge_rounds(wf, n_merges=3, checkpoint_every=2)
+    assert got == expected[:3]
