@@ -123,6 +123,20 @@ class TurtleParser:
         self.pos = m.end()
         return m.group(0)
 
+    def _match_pname(self) -> str | None:
+        """Match a prefixed name, honoring the W3C rule that PN_LOCAL
+        may contain but not END with an unescaped '.' — so the compact
+        form ``:s :p :o.`` (no space before the statement terminator)
+        parses as the pname ``:o`` followed by '.'. Trailing unescaped
+        dots are stripped from the match and the scanner rewound."""
+        tok = self._match_re(_PNAME_RE)
+        if tok is None:
+            return None
+        while tok.endswith(".") and not tok.endswith("\\."):
+            tok = tok[:-1]
+            self.pos -= 1
+        return tok
+
     # -- terms ------------------------------------------------------------
 
     def _iriref(self) -> str:
@@ -194,7 +208,7 @@ class TurtleParser:
             if self._peek() == "<":
                 dt = self._iriref()
             else:
-                tok = self._match_re(_PNAME_RE)
+                tok = self._match_pname()
                 if tok is None:
                     raise TurtleError("expected datatype after ^^")
                 dt = self._pname(tok)
@@ -244,7 +258,7 @@ class TurtleParser:
         tok = self._match_re(_BLANK_RE)
         if tok:
             return tok
-        tok = self._match_re(_PNAME_RE)
+        tok = self._match_pname()
         if tok:
             return self._pname(tok)
         raise TurtleError(f"expected subject at offset {self.pos}")
@@ -259,7 +273,7 @@ class TurtleParser:
             return RDF_TYPE
         if self._peek() == "<":
             return self._iriref()
-        tok = self._match_re(_PNAME_RE)
+        tok = self._match_pname()
         if tok:
             return self._pname(tok)
         raise TurtleError(f"expected predicate at offset {self.pos}")
@@ -295,7 +309,7 @@ class TurtleParser:
         if m and (pm is None or pm.end() <= m.end()):
             self.pos = m.end()
             return m.group(0)
-        tok = self._match_re(_PNAME_RE)
+        tok = self._match_pname()
         if tok:
             return self._pname(tok)
         raise TurtleError(f"expected object at offset {self.pos}")

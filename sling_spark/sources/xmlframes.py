@@ -28,7 +28,14 @@ from __future__ import annotations
 
 import xml.parsers.expat
 
-IS = "is"  # the text role (Handle::is analog)
+# The text role (Handle::is analog). A unique sentinel OBJECT, not the
+# string "is": the collapse/merge checks compare slot names with `is`,
+# and a literal XML attribute named "is" must never be mistaken for a
+# text chunk (CPython may intern the expat-returned attribute name to
+# the same string object). The sentinel maps to the string "is" only at
+# triple-rendering time.
+IS = object()
+IS_NAME = "is"
 
 
 class XmlFrameError(ValueError):
@@ -111,12 +118,13 @@ def xml_to_triples(text: str) -> list[tuple[str, str, str]]:
     def walk(frame: _Frame) -> str:
         nid = node_id(frame)
         for name, value in frame.slots:
+            pred = IS_NAME if name is IS else name
             if isinstance(value, _Frame):
-                triples.append((nid, name, walk(value)))
+                triples.append((nid, pred, walk(value)))
             elif value is None:
-                triples.append((nid, name, ""))
+                triples.append((nid, pred, ""))
             else:
-                triples.append((nid, name, value))
+                triples.append((nid, pred, value))
         return nid
 
     root_name, value = parse_xml_frame(text)

@@ -211,3 +211,24 @@ def test_parser_edge_cases_from_review():
     assert (ns + "s", RDF_TYPE, "T") in t
     with pytest.raises(TurtleError):
         parse_turtle_full('<a> <b> "x\\')
+
+
+def test_compact_statement_terminator():
+    """W3C PN_LOCAL must not END with an unescaped dot, so the compact
+    form ':s :p :o.' (no space before '.') is legal Turtle — the pname
+    is ':o' and the dot terminates the statement (ADVICE r4). Interior
+    and escaped dots stay part of the local name."""
+    ns = "http://x/"
+    t = parse_turtle_full(
+        "@prefix : <http://x/> .\n"
+        ":s :p :o.\n"
+        ":x a :t.\n"
+        ":z :p :o.b.\n"
+        ":w :p :o\\.e.\n"
+        ":m.n :p.q :r.s.\n"
+    )
+    assert (ns + "s", ns + "p", ns + "o") in t
+    assert (ns + "x", RDF_TYPE, ns + "t") in t
+    assert (ns + "z", ns + "p", ns + "o.b") in t        # interior dot kept
+    assert (ns + "w", ns + "p", ns + "o.e") in t        # escaped dot kept
+    assert (ns + "m.n", ns + "p.q", ns + "r.s") in t    # subject/predicate too
