@@ -2076,8 +2076,7 @@ def _sql_caspar_decode() -> str:
 def _sql_cascade_decode(scheme: str) -> str:
     """Driver-side twin: decode the same 20 documents with the same
     trained model and render the action rows as a VALUES table."""
-    from .kg.caspar import TOK_DIM, trained_model
-    from .kg.lexical import encode_tokens
+    from .kg.caspar import trained_model
     from .oracle.kg_oracle import latest_corpus
 
     import numpy as np
@@ -2086,11 +2085,12 @@ def _sql_cascade_decode(scheme: str) -> str:
     rows = []
     for d in latest_corpus(20):
         toks = d["tokens"]
-        enc = encode_tokens(
-            np.array([t.fp for t in toks], dtype=np.uint64),
-            [t.word for t in toks], [t.brk for t in toks], dim=TOK_DIM,
-        ).astype(np.float64)
-        for i, a in enumerate(model.decode(enc, len(toks))):
+        words = [t.word for t in toks]
+        brks = [t.brk for t in toks]
+        enc = model.encode_raw(
+            np.array([t.fp for t in toks], dtype=np.uint64), words, brks
+        )
+        for i, a in enumerate(model.decode(enc, len(toks), words, brks)):
             rows.append((d["repo"], d["path"], d["commit"], i) + a)
     values = ", ".join(
         f"({_sql_quote(r)}, {_sql_quote(p)}, {_sql_quote(c)}, {i}, "

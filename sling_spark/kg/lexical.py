@@ -207,6 +207,70 @@ def _context_mix(emb: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return emb + 0.5 * left + 0.5 * right
 
 
+def raw_encode(
+    fps: np.ndarray,
+    words=None,
+    brks=None,
+    dim: int = 32,
+    doc_starts=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pre-mix raw token features + sentence-start mask — the channel
+    sum BEFORE the ±1 neighborhood mix. Exposed separately so trainable
+    encoders (kg.caspar._TrainedEncoder) can add learned per-channel
+    deltas to the raw rows and then apply the same mix."""
+    fps = np.asarray(fps, dtype=np.uint64)
+    n = len(fps)
+    if n == 0:
+        return (
+            np.zeros((0, dim), dtype=np.float32),
+            np.zeros(0, dtype=bool),
+        )
+    emb = _hash_embed(fps, dim, 0)
+    if words is not None:
+        pre = np.empty(n, dtype=np.uint64)
+        suf = np.empty(n, dtype=np.uint64)
+        for i, w in enumerate(words):
+            p, s = affix_fps(w)
+            pre[i] = p
+            suf[i] = s
+        emb = emb + 0.35 * (
+            _hash_embed(pre, dim, 0xA5A5A5A5) + _hash_embed(suf, dim, 0x5A5A5A5A)
+        )
+        feats = shape_features(words, brks, doc_starts)
+        for k, table in enumerate(_shape_tables(dim)):
+            emb = emb + table[feats[:, k]]
+        starts = sentence_starts(np.asarray(brks))
+    else:
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+    return emb, starts
+
+
+def _context_mix_adjoint(g: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Transpose of :func:`_context_mix` (it is linear in the raw rows):
+    routes loss gradients on the MIXED encodings back onto the raw
+    per-token rows — the backward pass trainable encoders need."""
+    n = len(g)
+    if n == 0:
+        return g
+    out = g.copy()
+    # left-neighbor term: enc[i] += 0.5*raw[i-1] (non-start i), else raw[i]
+    contrib = np.zeros_like(g)
+    nonstart = ~starts
+    contrib[:-1] += np.where(nonstart[1:, None], g[1:], 0.0)
+    contrib[starts] += g[starts]
+    out += 0.5 * contrib
+    # right-neighbor term: enc[i] += 0.5*raw[i+1] (non-end i), else raw[i]
+    ends = np.zeros(n, dtype=bool)
+    ends[:-1] = starts[1:]
+    ends[-1] = True
+    contrib2 = np.zeros_like(g)
+    contrib2[1:] += np.where(~ends[:-1, None], g[:-1], 0.0)
+    contrib2[ends] += g[ends]
+    out += 0.5 * contrib2
+    return out
+
+
 def encode_tokens(
     fps: np.ndarray,
     words=None,
@@ -228,26 +292,5 @@ def encode_tokens(
     resets at every sentence start, so per-sentence slices of the
     result equal per-sentence encodings (the batch-at-once contract the
     Spark ops rely on)."""
-    fps = np.asarray(fps, dtype=np.uint64)
-    n = len(fps)
-    if n == 0:
-        return np.zeros((0, dim), dtype=np.float32)
-    emb = _hash_embed(fps, dim, 0)
-    if words is not None:
-        pre = np.empty(n, dtype=np.uint64)
-        suf = np.empty(n, dtype=np.uint64)
-        for i, w in enumerate(words):
-            p, s = affix_fps(w)
-            pre[i] = p
-            suf[i] = s
-        emb = emb + 0.35 * (
-            _hash_embed(pre, dim, 0xA5A5A5A5) + _hash_embed(suf, dim, 0x5A5A5A5A)
-        )
-        feats = shape_features(words, brks, doc_starts)
-        for k, table in enumerate(_shape_tables(dim)):
-            emb = emb + table[feats[:, k]]
-        starts = sentence_starts(np.asarray(brks))
-    else:
-        starts = np.zeros(n, dtype=bool)
-        starts[0] = True
+    emb, starts = raw_encode(fps, words, brks, dim, doc_starts)
     return _context_mix(emb, starts)

@@ -36,8 +36,9 @@ Scale shape: a Turtle document is not splittable mid-file (prefix
 state), so the distributed reader (:func:`read_turtle`) parses one
 FILE per task — ``spark.read.text(wholetext)`` → one mapInPandas —
 which is exactly how a many-file RDF dump (the usual 100 TB layout)
-parallelizes; single giant files should be exported as N-Triples
-(line-splittable) instead.
+parallelizes. A single giant header-directive dump (the wikidata
+``latest-all.ttl`` shape) splits by byte range instead:
+sources.dumpsplit.read_turtle_dump.
 """
 
 from __future__ import annotations

@@ -20,8 +20,10 @@ content is preserved).
 Scale shape: like Turtle, an XML document is not splittable mid-file,
 so the distributed reader parses one file per task
 (spark.read.text(wholetext) → mapInPandas) with per-file blank-node
-salting — the many-file dump layout parallelizes; single giant files
-should be converted to a line-based format first.
+salting — the many-file dump layout parallelizes. For a single giant
+record-structured dump (the 70 GB Wikipedia case), use
+sources.dumpsplit.read_xml_dump: byte-range tasks that scan to record
+boundaries, the wikipedia-importer.cc:322 recipe.
 """
 
 from __future__ import annotations

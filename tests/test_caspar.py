@@ -1,8 +1,12 @@
 """Trained caspar/knolex transition-scoring cascade tests (reference
 caspar-decoder.cc:105-123, knolex-decoder.cc:118-151,
-multiclass-delegate.h:33). Closes the round-3 scope boundary: the
-engine can now TRAIN and RUN a transition scorer over its gold
-sequences, not just generate them."""
+multiclass-delegate.h:33). Round 5 closes the trained-representation
+gap (round-4 verdict missing #1): the lexical embeddings are learned
+JOINTLY with the delegates (lexrnn-encoder.cc:197 analog) and literal
+labels are materialized from the span surface / span parse instead of
+memorized (the reference's number/date annotators read values off the
+surface too), so decoded span+label F1 on HELD-OUT docs is the quality
+gate, not just teacher-forced accuracy."""
 
 from __future__ import annotations
 
@@ -11,7 +15,11 @@ import pytest
 
 from sling_spark.kg.caspar import (
     FEAT_DIM,
+    TOK_DIM,
     CasparModel,
+    LIT_LABEL,
+    PARSE_LABEL,
+    batch_encode,
     fixture_gold,
     trained_model,
 )
@@ -23,26 +31,120 @@ def gold():
     return fixture_gold(40)
 
 
-def _heldout_model(gold):
+@pytest.fixture(scope="module")
+def heldout_models(gold):
+    """One caspar + one knolex cascade trained on 32 docs, evaluated on
+    the 8 held-out docs (shared across tests — training is the slow
+    part)."""
     docs, _ = gold
     train = docs[:32]
     inv = sorted(
         {a for d in train for a in d["actions"] if a[0] not in (SHIFT, MARK)}
     )
-    m = CasparModel("caspar", inv)
-    m.fit(train)
-    return m, docs[32:]
+    models = {}
+    for scheme in ("caspar", "knolex"):
+        m = CasparModel(scheme, inv)
+        m.fit(train)
+        models[scheme] = m
+    return models, docs[32:]
 
 
-def test_heldout_next_action_accuracy(gold):
+def _decoded_f1(m: CasparModel, docs: list[dict]) -> float:
+    f1s = []
+    for d in docs:
+        enc = m.encode_doc(d)
+        decoded = m.decode(enc, d["n_tokens"], d["words"], d["brks"])
+        rep = apply_transitions(decoded)
+        gold_rep = apply_transitions(d["actions"])
+        gs = {(b, e, gold_rep["frames"][f]) for b, e, f in gold_rep["spans"]}
+        ds = {(b, e, rep["frames"][f]) for b, e, f in rep["spans"]}
+        tp = len(gs & ds)
+        p = tp / max(len(ds), 1)
+        r = tp / max(len(gs), 1)
+        f1s.append(2 * p * r / max(p + r, 1e-9))
+    return float(np.mean(f1s))
+
+
+def test_heldout_next_action_accuracy(heldout_models):
     """Teacher-forced accuracy on 8 held-out fixture docs (trained on
-    the other 32). Measured 0.937 main / 0.871 full; thresholds leave
-    noise margin but sit far above the SHIFT-majority baseline
-    (~0.82 main)."""
-    m, heldout = _heldout_model(gold)
-    acc = m.next_action_accuracy(heldout)
-    assert acc["main"] >= 0.88
-    assert acc["full"] >= 0.78
+    the other 32). Measured 0.987 main / 0.959 full (caspar); the
+    thresholds leave noise margin but sit far above the SHIFT-majority
+    baseline (~0.82 main)."""
+    models, heldout = heldout_models
+    acc = models["caspar"].next_action_accuracy(heldout)
+    assert acc["main"] >= 0.95
+    assert acc["full"] >= 0.90
+
+
+def test_heldout_decoded_f1(heldout_models):
+    """THE quality gate (round-4 verdict item 2 'Done' criterion):
+    decoded span+label F1 on held-out docs ≥ 0.80 for BOTH cascade
+    schemes. Measured 0.857 (caspar) / 0.826 (knolex) — up from 0.65
+    in round 4 (training is deterministic, so these are constants, but
+    the asserts keep the required margin only)."""
+    models, heldout = heldout_models
+    assert _decoded_f1(models["caspar"], heldout) >= 0.80
+    assert _decoded_f1(models["knolex"], heldout) >= 0.80
+
+
+def test_literal_copy_generalizes_past_inventory(heldout_models, gold):
+    """The copy classes must emit labels that were NEVER a training
+    class: held-out docs contain literal entities ('388', '2006-04')
+    absent from the 32-doc inventory — a closed softmax cannot produce
+    them; surface/parse materialization can, and the emissions must
+    match gold."""
+    models, heldout = heldout_models
+    m = models["caspar"]
+    train_labels = {
+        a[5] for g in m.groups for a in g if a[5] not in (LIT_LABEL, PARSE_LABEL)
+    }
+    novel_correct = 0
+    for d in heldout:
+        enc = m.encode_doc(d)
+        decoded = m.decode(enc, d["n_tokens"], d["words"], d["brks"])
+        rep = apply_transitions(decoded)
+        gold_rep = apply_transitions(d["actions"])
+        gs = {(b, e, gold_rep["frames"][f]) for b, e, f in gold_rep["spans"]}
+        for b, e, f in rep["spans"]:
+            lab = rep["frames"][f]
+            if lab not in train_labels and (b, e, lab) in gs:
+                novel_correct += 1
+    assert novel_correct >= 20  # measured 60+; any closed inventory scores 0
+
+
+def test_trained_encoder_learns_nonzero_deltas(heldout_models):
+    """Joint training must actually move the embedding tables (the
+    lexrnn-encoder.cc:197 parity claim): word-delta rows are nonzero
+    for trained vocab, and the frozen OOV row stays exactly zero."""
+    models, _ = heldout_models
+    enc = models["caspar"].encoder
+    assert enc is not None
+    assert float(np.abs(enc.wd[:-1]).max()) > 0.0
+    assert float(np.abs(enc.shd).max()) > 0.0
+    assert np.all(enc.wd[-1] == 0.0)  # OOV word delta frozen at zero
+    assert np.all(enc.pd[-1] == 0.0)
+    assert np.all(enc.sd[-1] == 0.0)
+
+
+def test_batch_encode_matches_per_doc(gold):
+    """Verdict item 4 'Done' criterion: ONE encoder call per Arrow
+    batch must be bit-identical to encoding each document alone (the
+    boundary-aware mix + per-doc quote reset guarantee it); the decode
+    walk then consumes slices."""
+    from types import SimpleNamespace
+
+    docs, _ = gold
+    m = trained_model("caspar", 40)
+    rows = [
+        SimpleNamespace(
+            t_fp=d["fps"], t_word=d["words"], t_brk=np.array(d["brks"])
+        )
+        for d in docs[:5]
+    ]
+    enc_all, offs = batch_encode(m, rows)
+    for j, d in enumerate(docs[:5]):
+        single = m.encode_raw(d["fps"], d["words"], d["brks"])
+        assert np.array_equal(enc_all[int(offs[j]):int(offs[j + 1])], single)
 
 
 def test_decode_wellformed_and_learned(gold):
@@ -50,13 +152,14 @@ def test_decode_wellformed_and_learned(gold):
     replays without error (valid spans, in-range attention indices —
     the masking contract), terminate via the per-token budget, and
     actually RESEMBLE the gold annotation: mean span+label F1 over the
-    probe docs measured 0.65; floor 0.5 (far above an untrained cascade,
-    which emits SHIFT-only or noise)."""
+    probe docs measured 0.967; floor 0.9 (an untrained cascade emits
+    SHIFT-only or noise)."""
     docs, _ = gold
     m = trained_model("caspar", 40)
     f1s = []
     for d in docs[:10]:
-        decoded = m.decode(d["enc"], d["n_tokens"])
+        enc = m.encode_doc(d)
+        decoded = m.decode(enc, d["n_tokens"], d["words"], d["brks"])
         assert sum(1 for a in decoded if a[0] == SHIFT) == d["n_tokens"]
         rep = apply_transitions(decoded)  # raises on malformed sequences
         gold_rep = apply_transitions(d["actions"])
@@ -68,19 +171,22 @@ def test_decode_wellformed_and_learned(gold):
         p = tp / max(len(ds), 1)
         r = tp / max(len(gs), 1)
         f1s.append(2 * p * r / max(p + r, 1e-9))
-    assert float(np.mean(f1s)) >= 0.5
+    assert float(np.mean(f1s)) >= 0.9
 
 
 def test_training_is_deterministic(gold):
     """Two independently constructed+trained cascades must be
-    bit-identical (seeded init, full-batch GD): the hash-oracle
-    contract relies on driver-trained == closure-shipped weights."""
+    bit-identical (seeded init, full-batch GD, fixed-permutation
+    scatter sums): the hash-oracle contract relies on driver-trained ==
+    closure-shipped weights — including the trained embedding tables."""
     docs, inv = gold
     a = CasparModel("caspar", inv)
     b = CasparModel("caspar", inv)
     a.fit(docs[:6], epochs=30)
     b.fit(docs[:6], epochs=30)
-    x = docs[0]["enc"][0]
+    assert np.array_equal(a.encoder.wd, b.encoder.wd)
+    assert np.array_equal(a.encoder.shd, b.encoder.shd)
+    x = a.encode_doc(docs[0])[0]
     feat = np.zeros(FEAT_DIM)
     feat[:len(x)] = x
     assert np.array_equal(a.main.logits(feat), b.main.logits(feat))
@@ -90,7 +196,9 @@ def test_training_is_deterministic(gold):
 def test_knolex_cascade_structure(gold):
     """knolex layout (knolex-decoder.cc:118-151): main classifies
     SHIFT/MARK/CASCADE(1)/CASCADE(2); EvokeDelegate holds EVOKE/REFER,
-    ConnectDelegate holds CONNECT/ASSIGN; decode stays well-formed."""
+    ConnectDelegate holds CONNECT/ASSIGN (the literal/parse copy
+    classes are EVOKE-typed so they live in the evoke group); decode
+    stays well-formed."""
     docs, inv = gold
     m = CasparModel("knolex", inv)
     assert m.main.w2.shape[1] == 4
@@ -98,9 +206,12 @@ def test_knolex_cascade_structure(gold):
     assert {a[0] for a in m.groups[1]} <= {CONNECT, ASSIGN}
     assert len(m.groups[0]) + len(m.groups[1]) == len(inv)
     m.fit(docs[:6], epochs=30)
-    decoded = m.decode(docs[6]["enc"], docs[6]["n_tokens"])
+    assert {a[0] for a in m.groups[0]} <= {EVOKE, REFER}
+    assert {a[0] for a in m.groups[1]} <= {CONNECT, ASSIGN}
+    d = docs[6]
+    decoded = m.decode(m.encode_doc(d), d["n_tokens"], d["words"], d["brks"])
     apply_transitions(decoded)
-    assert sum(1 for a in decoded if a[0] == SHIFT) == docs[6]["n_tokens"]
+    assert sum(1 for a in decoded if a[0] == SHIFT) == d["n_tokens"]
 
 
 from hypothesis import given, settings
@@ -112,28 +223,32 @@ from hypothesis import strategies as st
     st.lists(
         st.sampled_from(
             ["Spark", "uses", "the", "phrase", "table", "Apache",
-             "2014-02-27", "release", ".", "scala", "runs", "on"]
+             "2014-02-27", "release", ".", "scala", "runs", "on",
+             "3", "million", "two", "thousand", "19", "th", "century"]
         ),
         min_size=1, max_size=40,
     )
 )
 def test_decode_fuzz_always_wellformed(words):
-    """Any token sequence: greedy decode terminates (per-token action
-    budget), emits exactly one SHIFT per token, and replays through the
-    ParserState automaton without error — the masking contract under
-    inputs far outside the training distribution."""
+    """Any token sequence — including literal-looking runs that trigger
+    the copy classes: greedy decode terminates (per-token action
+    budget), emits exactly one SHIFT per token, never emits a None
+    label, and replays through the ParserState automaton without error
+    — the masking contract under inputs far outside the training
+    distribution."""
     import numpy as np
 
     from sling_spark.functions.fingerprint import token_fp
-    from sling_spark.kg.caspar import TOK_DIM, trained_model
-    from sling_spark.kg.lexical import encode_tokens
+    from sling_spark.kg.caspar import trained_model
 
     model = trained_model("caspar", 40)
     fps = np.array([token_fp(w) for w in words], dtype=np.uint64)
     brks = [0] * len(words)
-    enc = encode_tokens(fps, words, brks, dim=TOK_DIM).astype(np.float64)
-    decoded = model.decode(enc, len(words))
+    enc = model.encode_raw(fps, words, brks)
+    decoded = model.decode(enc, len(words), words, brks)
     assert sum(1 for a in decoded if a[0] == SHIFT) == len(words)
+    for a in decoded:
+        assert a[5] is not None
     rep = apply_transitions(decoded)
     for b, e, _f in rep["spans"]:
         assert 0 <= b < e <= len(words)
