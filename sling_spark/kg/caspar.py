@@ -43,6 +43,9 @@ driver-side twin.
 
 from __future__ import annotations
 
+import io
+import json
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -860,15 +863,123 @@ def fixture_gold(n_files: int = 40) -> tuple:
     return docs, sorted(inventory)
 
 
+def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
+    """Content-hash cache key for a trained model: the gold training
+    data (keys, tokens, actions, inventory) + hyperparameters + the
+    BYTECODE of every function in the training math.  Any change to the
+    gold generator, the optimizer, the encoder forward/adjoint or the
+    class remapping changes the tag, so a stale cached artifact can
+    never be loaded — it is simply a different filename and training
+    reruns."""
+    import hashlib
+
+    from . import lexical
+
+    h = hashlib.sha256()
+    h.update(repr(("caspar-train-v1", scheme, n_files, epochs)).encode())
+    docs, inventory = fixture_gold(n_files)
+    for d in docs:
+        h.update(repr(d["key"]).encode())
+        h.update(np.ascontiguousarray(d["fps"]).tobytes())
+        h.update("\x00".join(d["words"]).encode())
+        h.update(np.ascontiguousarray(d["brks"]).tobytes())
+        h.update(repr(d["actions"]).encode())
+    h.update(repr(inventory).encode())
+    for fn in (
+        CasparModel.fit, CasparModel._gold_class, CasparModel._rebuild_groups,
+        _Delegate.step, _Delegate.logits, _TrainedEncoder.raw,
+        _TrainedEncoder.apply_gradient, _TrainedEncoder.init_training,
+        _SegmentSum.__call__, lexical.raw_encode, lexical._context_mix,
+        lexical._context_mix_adjoint, lexical.shape_features, _parse_span,
+    ):
+        code = getattr(fn, "__wrapped__", fn).__code__  # unwrap lru_cache
+        h.update(code.co_code)
+        h.update(repr(code.co_consts).encode())
+    return h.hexdigest()[:16]
+
+
+def save_model(model: CasparModel, path: str) -> None:
+    """Serialize a trained cascade (decode-complete state: delegate
+    weights, group layout, trained encoder tables + vocab) to one .npz.
+    The momentum buffers are training-only state and are not stored."""
+    header = {
+        "scheme": model.scheme,
+        "inventory": [list(a) for a in model.inventory],
+        "groups": [[list(a) for a in g] for g in model.groups],
+        "vocab": sorted(model.encoder.widx) if model.encoder else None,
+        "dim": model.encoder.dim if model.encoder else None,
+    }
+    arrays = {"header": np.frombuffer(
+        json.dumps(header).encode("utf-8"), dtype=np.uint8)}
+    for tag, d in [("main", model.main)] + [
+            (f"d{i}", dlg) for i, dlg in enumerate(model.delegates)]:
+        for p in ("w1", "b1", "w2", "b2"):
+            arrays[f"{tag}.{p}"] = getattr(d, p)
+    if model.encoder is not None:
+        for p in ("wd", "pd", "sd", "shd"):
+            arrays[f"enc.{p}"] = getattr(model.encoder, p)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    from pyarrow import fs as pafs
+
+    uri = path if "://" in path else "file://" + path
+    filesystem, p = pafs.FileSystem.from_uri(uri)
+    parent = p.rsplit("/", 1)[0]
+    if parent:
+        filesystem.create_dir(parent, recursive=True)
+    with filesystem.open_output_stream(p) as f:
+        f.write(buf.getvalue())
+
+
+def load_model(path: str) -> CasparModel:
+    """Inverse of :func:`save_model`; the loaded model decodes
+    bit-identically to the freshly trained one (asserted in tests)."""
+    with open(path, "rb") as f:
+        z = np.load(io.BytesIO(f.read()))
+    header = json.loads(bytes(z["header"]).decode("utf-8"))
+    model = CasparModel(
+        header["scheme"], [tuple(a) for a in header["inventory"]]
+    )
+    model._rebuild_groups([[tuple(a) for a in g] for g in header["groups"]])
+    for tag, d in [("main", model.main)] + [
+            (f"d{i}", dlg) for i, dlg in enumerate(model.delegates)]:
+        for p in ("w1", "b1", "w2", "b2"):
+            setattr(d, p, z[f"{tag}.{p}"])
+    if header["vocab"] is not None:
+        enc = _TrainedEncoder(header["vocab"], header["dim"])
+        for p in ("wd", "pd", "sd", "shd"):
+            setattr(enc, p, z[f"enc.{p}"])
+        model.encoder = enc
+    return model
+
+
 @lru_cache(maxsize=4)
 def trained_model(scheme: str = "caspar", n_files: int = 40,
                   epochs: int = 300) -> CasparModel:
     """The deterministic fixture-trained cascade: same seeds, same gold
     data, same full-batch optimizer ⇒ bit-identical weights on every
-    build (driver twin == executor closure)."""
+    build (driver twin == executor closure).
+
+    Training (~2 min/model) is fronted by a content-addressed artifact
+    cache under kg/models/ (override: $SLING_SPARK_MODEL_DIR): the
+    filename embeds a hash of the gold data AND the training-math
+    bytecode (:func:`_train_spec_tag`), so any semantic change misses
+    the cache and retrains; load==train bit-equality is test-asserted."""
+    tag = _train_spec_tag(scheme, n_files, epochs)
+    cache_dir = os.environ.get(
+        "SLING_SPARK_MODEL_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "models"),
+    )
+    path = os.path.join(cache_dir, f"{scheme}-{n_files}-{epochs}-{tag}.npz")
+    if os.path.exists(path):
+        return load_model(path)
     docs, inventory = fixture_gold(n_files)
     model = CasparModel(scheme, inventory)
     model.fit(docs, epochs=epochs)
+    try:
+        save_model(model, path)
+    except OSError:  # read-only install dir — cache is best-effort
+        pass
     return model
 
 

@@ -252,3 +252,44 @@ def test_decode_fuzz_always_wellformed(words):
     rep = apply_transitions(decoded)
     for b, e, _f in rep["spans"]:
         assert 0 <= b < e <= len(words)
+
+
+def test_model_artifact_roundtrip(gold, tmp_path):
+    """The trained-model artifact cache (kg/models/*.npz) must be
+    decode-exact: save -> load reproduces weights, group layout and the
+    full decoded action sequence bit-for-bit (the hash-oracle contract
+    loads cached artifacts in place of retraining)."""
+    from sling_spark.kg.caspar import load_model, save_model
+
+    docs, inv = gold
+    m = CasparModel("knolex", inv)
+    m.fit(docs[:6], epochs=30)
+    path = str(tmp_path / "models" / "knolex-test.npz")
+    save_model(m, path)
+    lm = load_model(path)
+    assert lm.scheme == "knolex"
+    assert lm.inventory == m.inventory and lm.groups == m.groups
+    assert np.array_equal(lm.main.w1, m.main.w1)
+    assert np.array_equal(lm.main.b2, m.main.b2)
+    for a, b in zip(lm.delegates, m.delegates):
+        assert np.array_equal(a.w2, b.w2)
+    assert np.array_equal(lm.encoder.wd, m.encoder.wd)
+    assert np.array_equal(lm.encoder.shd, m.encoder.shd)
+    assert sorted(lm.encoder.widx) == sorted(m.encoder.widx)
+    for d in docs[6:10]:
+        got = lm.decode(lm.encode_doc(d), d["n_tokens"], d["words"], d["brks"])
+        want = m.decode(m.encode_doc(d), d["n_tokens"], d["words"], d["brks"])
+        assert got == want
+
+
+def test_train_spec_tag_invalidates(gold):
+    """The artifact filename hash must move when the training spec
+    moves (different scheme / epochs / corpus size), so a stale cache
+    entry can never be loaded for a changed configuration."""
+    from sling_spark.kg.caspar import _train_spec_tag
+
+    base = _train_spec_tag("caspar", 40, 300)
+    assert _train_spec_tag("caspar", 40, 300) == base  # deterministic
+    assert _train_spec_tag("knolex", 40, 300) != base
+    assert _train_spec_tag("caspar", 40, 200) != base
+    assert _train_spec_tag("caspar", 30, 300) != base

@@ -1,0 +1,203 @@
+"""SLINGDB-analog store tests (reference semantics: sling/db/db.cc
+PUT/DELETE/NEXT, sling/db/dbprotocol.h modes/results,
+sling/db/dbserver.cc HTTP surface)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from sling_spark.db import (
+    DBADD,
+    DBEXISTS,
+    DBNEW,
+    DBNEWER,
+    DBORDERED,
+    DBOVERWRITE,
+    DBSTALE,
+    DBUNCHANGED,
+    DBUPDATED,
+    RecordDatabase,
+    db_to_dataframe,
+    load_dataframe,
+    make_db_service,
+)
+
+
+def test_put_modes_matrix():
+    db = RecordDatabase()
+    # new record is DBNEW in every mode
+    assert db.put("a", "1", version=5)[1] == DBNEW
+    # identical value -> DBUNCHANGED, version NOT re-stamped (db.cc:479)
+    assert db.put("a", "1", version=9)[1] == DBUNCHANGED
+    assert db.get("a").version == 5
+    # plain overwrite
+    assert db.put("a", "2", version=3)[1] == DBUPDATED
+    # ADD refuses existing keys
+    assert db.put("a", "3", mode=DBADD)[1] == DBEXISTS
+    assert db.get("a").value == b"2"
+    # ORDERED: lower version than stored nonzero version -> DBSTALE
+    assert db.put("a", "4", version=2, mode=DBORDERED)[1] == DBSTALE
+    assert db.put("a", "4", version=7, mode=DBORDERED)[1] == DBUPDATED
+    # NEWER: lower -> DBSTALE, equal -> DBUNCHANGED even if value differs
+    assert db.put("a", "5", version=6, mode=DBNEWER)[1] == DBSTALE
+    assert db.put("a", "5", version=7, mode=DBNEWER)[1] == DBUNCHANGED
+    assert db.get("a").value == b"4"
+    assert db.put("a", "5", version=8, mode=DBNEWER)[1] == DBUPDATED
+    # ORDERED against stored version 0 never refuses (db.cc:459)
+    db.put("z", "zz", version=0)
+    assert db.put("z", "z2", version=0, mode=DBORDERED)[1] == DBUPDATED
+    # empty value is reserved for tombstones
+    assert db.put("a", "")[0] == -1
+
+
+def test_delete_and_readd():
+    db = RecordDatabase()
+    db.put("k", "v", version=4)
+    assert db.head("k") == (4, 1)
+    assert db.delete("k")
+    assert db.get("k") is None
+    assert db.head("k") == (0, 0)
+    assert not db.delete("k")  # double delete misses (index removed)
+    # re-add after delete is NEW even in ADD mode (index was cleared in
+    # the reference, db.cc Delete -> index_->Delete)
+    assert db.put("k", "v2", mode=DBADD)[1] == DBNEW
+    assert db.get("k").value == b"v2"
+
+
+def test_epoch_monotone_and_next_cursor():
+    db = RecordDatabase()
+    for i in range(5):
+        db.put(f"k{i}", f"v{i}", version=i)
+    e1 = db.epoch()
+    assert e1 == 5
+    db.put("k1", "v1b")      # supersedes recid 1
+    db.delete("k3")          # tombstone
+    assert db.epoch() == 7   # every mutation advances the epoch
+    # full scan sees only latest live versions
+    recs, nxt = db.next(0, num=100)
+    assert nxt is None
+    assert {(r.key, r.value) for r in recs} == {
+        (b"k0", b"v0"), (b"k2", b"v2"), (b"k4", b"v4"), (b"k1", b"v1b")}
+    # tail-read from a remembered epoch sees exactly the new mutations
+    recs, _ = db.next(e1, num=100, deletions=True)
+    assert [(r.key, r.deleted) for r in recs] == [
+        (b"k1", False), (b"k3", True)]
+    # batched iteration with cursor hand-back covers the same set
+    out, it = [], 0
+    while it is not None:
+        recs, it = db.next(it, num=2)
+        out.extend(recs)
+    assert {r.key for r in out} == {b"k0", b"k1", b"k2", b"k4"}
+    # deletion-aware readers always see tombstones, even superseded ones
+    db.put("k3", "back")
+    recs, _ = db.next(0, num=100, deletions=True)
+    assert sum(r.deleted for r in recs) == 1
+
+
+def test_persistence_roundtrip(tmp_path):
+    db = RecordDatabase()
+    db.put("x", b"\x00\xffbinary", version=2)
+    db.put("y", "text", version=1)
+    db.delete("y")
+    path = str(tmp_path / "state" / "db.log")
+    epoch = db.flush(path)
+    db2 = RecordDatabase.open(path)
+    assert db2.epoch() == epoch == 3
+    assert db2.get("x").value == b"\x00\xffbinary"
+    assert db2.get("x").version == 2
+    assert db2.get("y") is None
+    # resumed store keeps appending at the persisted epoch
+    db2.put("z", "new")
+    assert db2.epoch() == 4
+    # missing file opens an empty store (fresh start)
+    db3 = RecordDatabase.open(str(tmp_path / "absent.log"))
+    assert db3.epoch() == 0
+
+
+def test_read_only():
+    db = RecordDatabase(read_only=True)
+    assert db.put("a", "1")[1] == 5  # DBFAULT
+    assert not db.delete("a")
+
+
+@pytest.fixture()
+def http_db():
+    db = RecordDatabase()
+    server = make_db_service({"test": db})
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    yield db, f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _req(url, method="GET", data=None, headers=None):
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers=headers or {})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+def test_http_surface(http_db):
+    db, base = http_db
+    # PUT with Mode/Version headers -> Result/RecordID reply headers
+    st, body, hdrs = _req(f"{base}/db/test/alpha", "PUT", b"hello",
+                          {"Version": "3", "Mode": "ordered"})
+    assert st == 200 and hdrs["Result"] == "new"
+    st, _, hdrs = _req(f"{base}/db/test/alpha", "PUT", b"bye",
+                       {"Version": "1", "Mode": "ordered"})
+    assert hdrs["Result"] == "stale"
+    # GET single record returns value + Version header
+    st, body, hdrs = _req(f"{base}/db/test/alpha")
+    assert (st, body, hdrs["Version"]) == (200, b"hello", "3")
+    # HEAD reports existence without a body
+    st, body, hdrs = _req(f"{base}/db/test/alpha", "HEAD")
+    assert st == 200 and hdrs["Version"] == "3" and body == b""
+    # cursor batch fetch with Next handoff
+    _req(f"{base}/db/test/beta", "PUT", b"b2")
+    st, body, hdrs = _req(f"{base}/db/test?id=0&n=1")
+    batch = json.loads(body)
+    assert len(batch) == 1 and batch[0]["key"] == "alpha"
+    st, body, _ = _req(f"{base}/db/test?id={hdrs['Next']}&n=10")
+    assert [r["key"] for r in json.loads(body)] == ["beta"]
+    # OPTIONS -> database info incl. epoch
+    st, body, _ = _req(f"{base}/db/test", "OPTIONS")
+    info = json.loads(body)
+    assert info["epoch"] == db.epoch() == 2 and info["records"] == 2
+    # DELETE then 404 on fetch
+    st, _, _ = _req(f"{base}/db/test/alpha", "DELETE")
+    assert st == 200
+    st, _, _ = _req(f"{base}/db/test/alpha")
+    assert st == 404
+    # unknown database 404s
+    st, _, _ = _req(f"{base}/db/nope/k")
+    assert st == 404
+    # clear
+    st, _, _ = _req(f"{base}/db/test?clear=1", "POST")
+    assert st == 200 and db.epoch() == 0
+
+
+def test_spark_bulk_interface(spark):
+    db = RecordDatabase()
+    df = spark.createDataFrame(
+        [("q1", b"frame1", 2), ("q2", b"frame2", 1), ("q3", b"", 9)],
+        "key string, value binary, version long")
+    counts = load_dataframe(db, df, mode=DBORDERED)
+    assert counts["new"] == 2
+    assert db.get("q3") is None  # empty value rows arrive as deletions
+    # second ordered load with a stale and a newer row
+    df2 = spark.createDataFrame(
+        [("q1", b"frame1-old", 1), ("q2", b"frame2-new", 5)],
+        "key string, value binary, version long")
+    counts = load_dataframe(db, df2, mode=DBORDERED)
+    assert counts["stale"] == 1 and counts["updated"] == 1
+    out = {(r["key"], bytes(r["value"]), r["version"])
+           for r in db_to_dataframe(spark, db).collect()}
+    assert out == {("q1", b"frame1", 2), ("q2", b"frame2-new", 5)}
