@@ -93,6 +93,41 @@ def main() -> None:
     kg_median = round(statistics.median(samples), 3)
     times["kg_pipeline"] = kg_min
 
+    # Corpus-QC throughput (round-4 verdict polish item): the full
+    # near-dup keep-list path — shingle → minhash → LSH banding →
+    # candidate-restricted jaccard verify → connected-component
+    # clustering — over the SAME synthetic corpus size as kg_pipeline,
+    # so dedup throughput is tracked per-round like triple extraction.
+    from pyspark.sql import functions as F
+
+    from sling_spark.operators.dedup import (
+        dedup_clusters, jaccard_pairs, lsh_candidate_pairs,
+        minhash_signatures, shingles,
+    )
+    from sling_spark.sources.corpus import synthetic_documents
+
+    t0 = time.time()
+    base = synthetic_documents(spark, n_files, partitions=4 * cpus).select(
+        F.concat_ws("/", "repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    # deterministic near-dup planting: every 10th doc gets a lightly
+    # perturbed mirror, so the verify + clustering stages process real
+    # duplicate mass (the pure synthetic corpus is all-distinct)
+    mirrors = base.filter(F.crc32("doc_id") % 10 == 0).select(
+        F.concat(F.col("doc_id"), F.lit("@mirror")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("\n// mirrored copy")).alias("text"),
+    )
+    docs = base.unionByName(mirrors)
+    sh = shingles(docs, "doc_id", "text")
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    verified = jaccard_pairs(sh, min_jaccard=0.8, candidates=cands)
+    n_clustered = dedup_clusters(
+        verified.select("doc_a", "doc_b")
+    ).count()
+    qc_wall = round(time.time() - t0, 3)
+    times["corpus_qc_dedup"] = qc_wall
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -108,6 +143,9 @@ def main() -> None:
                 "kg_pipeline_median": kg_median,
                 "kg_triples_per_sec_median": round(n_triples / kg_median, 1),
                 "kg_pipeline_samples": samples,
+                "corpus_qc_docs": int(n_files * 1.1),  # base + ~10% mirrors
+                "corpus_qc_clustered": n_clustered,
+                "corpus_qc_docs_per_sec": round(n_files * 1.1 / qc_wall, 1),
                 "cpus": cpus,
             }
         )
