@@ -201,3 +201,89 @@ def test_spark_bulk_interface(spark):
     out = {(r["key"], bytes(r["value"]), r["version"])
            for r in db_to_dataframe(spark, db).collect()}
     assert out == {("q1", b"frame1", 2), ("q2", b"frame2-new", 5)}
+
+
+def test_db_as_delta_transport(spark):
+    """The SLINGDB role in the wikidaily loop (reference:
+    python/crawl/wikidaily.py PUTs revisions into SLINGDB; downstream
+    readers pull the tail since their last epoch): delta revisions are
+    PUT into the epoch store (ordered mode, revision as version),
+    tombstones as deletions; the consumer reads the epoch TAIL via
+    next(deletions=True), reconstructs the delta batch, and
+    apply_kb_delta over it equals a full rebuild. Replaying the same
+    batch is all-unchanged and yields an empty tail (idempotent
+    ingest)."""
+    import json as _json
+
+    from sling_spark.db import DBORDERED, DBUNCHANGED, RecordDatabase
+    from sling_spark.kg.assets import ITEMS_DDL, seed_dataframes
+    from sling_spark.kg.delta import (
+        apply_kb_delta,
+        demo_delta_rows,
+        demo_sources,
+        full_rebuild,
+    )
+    from sling_spark.kg.xref import build_clusters
+
+    db = RecordDatabase()
+    epoch0 = db.epoch()
+
+    # producer side: one PUT/DELETE per revision row
+    for row in demo_delta_rows():
+        key = f"{row['id']}@{row['source_priority']}"
+        if row["deleted"]:
+            db.put(key, "__seed__")  # simulate a pre-existing row
+            db.delete(key)
+        else:
+            version = 1
+            rec = {k: v for k, v in row.items() if k != "deleted"}
+            _, res = db.put(key, _json.dumps(rec, sort_keys=True),
+                            version=version, mode=DBORDERED)
+    epoch1 = db.epoch()
+    assert epoch1 > epoch0
+
+    # consumer side: tail since epoch0 -> delta DataFrame
+    recs, _ = db.next(epoch0, num=1 << 30, deletions=True)
+    rows = []
+    for r in recs:
+        rid, prio = r.key.decode().rsplit("@", 1)
+        if r.deleted:
+            rows.append({"id": rid, "source_priority": int(prio),
+                         "deleted": True, "name": None, "types": [],
+                         "statements": []})
+        else:
+            rows.append(dict(_json.loads(r.value), deleted=False))
+    delta = spark.createDataFrame(
+        rows, schema=ITEMS_DDL + ", source_priority int, deleted boolean")
+
+    seed = seed_dataframes(spark)
+    clusters = build_clusters(seed["same_as"])
+    sources, direct_delta = demo_sources(spark)
+    base = full_rebuild(sources, clusters)
+    via_db = apply_kb_delta(spark, sources, delta, clusters, base)
+    direct = apply_kb_delta(spark, sources, direct_delta, clusters, base)
+    assert _kb_rows(via_db["kb_items"]) == _kb_rows(direct["kb_items"])
+    assert _kb_rows(via_db["kb_items"]) == _kb_rows(
+        full_rebuild(via_db["sources"], clusters))
+
+    # replay: every live row unchanged, no new tail for the consumer
+    for row in demo_delta_rows():
+        if not row["deleted"]:
+            rec = {k: v for k, v in row.items() if k != "deleted"}
+            _, res = db.put(f"{row['id']}@{row['source_priority']}",
+                            _json.dumps(rec, sort_keys=True),
+                            version=1, mode=DBORDERED)
+            assert res == DBUNCHANGED
+    recs2, _ = db.next(epoch1, num=1 << 30, deletions=True)
+    assert recs2 == []
+
+
+def _kb_rows(df):
+    out = set()
+    for r in df.collect():
+        sts = tuple(sorted(
+            (s["pid"], s["object"],
+             tuple(sorted((s["qualifiers"] or {}).items())))
+            for s in (r["statements"] or [])))
+        out.add((r["id"], r["name"], tuple(sorted(r["types"] or [])), sts))
+    return out
