@@ -6,7 +6,9 @@ same KG pipeline job runs at two parallelism levels — local[8] and
 local[32] — on the SAME synthetic input, and we report throughput at both
 plus scaling efficiency = (T_8 / T_32) / 4.
 
-Writes BENCH/scaling.json and prints one JSON line.
+Self-archives as BENCH/scaling_run<N>.json and prints one JSON line;
+BENCH/scaling.json (the headline) is promoted manually after window
+vetting (adjacent CPU control + absolute leg times vs history).
 
 Usage: python tools/bench_scaling.py [n_files] [low_cores] [high_cores]
 """
@@ -115,9 +117,23 @@ def main() -> None:
             "delivery_efficiency": round(ctl_lo / ctl_hi, 3),
         },
     }
+    # Every run self-archives under the next free scaling_runN.json;
+    # BENCH/scaling.json (the HEADLINE) is promoted manually after
+    # window vetting against the adjacent control + historical leg
+    # times — a degraded-window run must never clobber the capability
+    # measurement (that happened once with run 27; see BASELINE.md §2).
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as f:
+    import re
+
+    taken = [
+        int(m.group(1))
+        for f in os.listdir("BENCH")
+        if (m := re.match(r"scaling_run(\d+)\.json$", f))
+    ]
+    n = max(taken, default=0) + 1
+    with open(f"BENCH/scaling_run{n}.json", "w") as f:
         json.dump(out, f, indent=2)
+    out["archived_as"] = f"BENCH/scaling_run{n}.json"
     print(json.dumps(out))
 
 
