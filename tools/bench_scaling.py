@@ -92,13 +92,26 @@ def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # optional 4th arg: number of ALTERNATIONS (L H L H ...) — the
+    # window-drift-robust variant for a co-tenant host whose delivered
+    # CPU speed swings several-fold over minutes (logged in round 5).
+    # Each level's capability = its FASTEST leg; efficiency is the
+    # ratio of bests, so a slow window hitting one leg of one level
+    # cannot fabricate or destroy the ratio the way it can in a single
+    # sequential L-then-H pair. All legs + per-leg adjacent controls
+    # are recorded.
+    alt = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
-    # CPU-delivery control ADJACENT to the measured legs, recorded in
-    # the same file (round-2 verdict item 8)
-    ctl_lo = cpu_control(low)
-    ctl_hi = cpu_control(high)
-    lo = run_once(low, n_files)
-    hi = run_once(high, n_files)
+    legs = {low: [], high: []}
+    controls = {low: [], high: []}
+    for _ in range(alt):
+        for cores in (low, high):
+            controls[cores].append(cpu_control(cores))
+            legs[cores].append(run_once(cores, n_files))
+    lo = min(legs[low], key=lambda r: r["wall_sec"])
+    hi = min(legs[high], key=lambda r: r["wall_sec"])
+    ctl_lo = min(controls[low])
+    ctl_hi = min(controls[high])
     speedup = lo["wall_sec"] / hi["wall_sec"]
     efficiency = speedup / (high / low)
     out = {
@@ -116,6 +129,11 @@ def main() -> None:
             "high_wall_sec": ctl_hi,
             "delivery_efficiency": round(ctl_lo / ctl_hi, 3),
         },
+        "alternations": alt,
+        "all_legs": {
+            str(c): [r["wall_sec"] for r in legs[c]] for c in (low, high)
+        },
+        "all_controls": {str(c): controls[c] for c in (low, high)},
     }
     # Every run self-archives under the next free scaling_runN.json;
     # BENCH/scaling.json (the HEADLINE) is promoted manually after
