@@ -870,10 +870,29 @@ def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
     gold generator, the optimizer, the encoder forward/adjoint or the
     class remapping changes the tag, so a stale cached artifact can
     never be loaded — it is simply a different filename and training
-    reruns."""
+    reruns.
+
+    Code objects are hashed RECURSIVELY and address-free: a nested
+    listcomp/genexpr lands in the enclosing function's co_consts as a
+    code object whose repr() embeds its memory address, so hashing
+    repr(co_consts) directly would change the tag on every process and
+    the cache would never hit (asserted stable cross-process in
+    tests/test_caspar.py)."""
     import hashlib
 
     from . import lexical
+
+    def _hash_code(code, h):
+        h.update(code.co_code)
+        h.update(repr(code.co_names).encode())
+        h.update(repr(code.co_varnames).encode())
+        for c in code.co_consts:
+            if hasattr(c, "co_code"):
+                _hash_code(c, h)
+            elif isinstance(c, frozenset):
+                h.update(repr(sorted(map(repr, c))).encode())
+            else:
+                h.update(repr(c).encode())
 
     h = hashlib.sha256()
     h.update(repr(("caspar-train-v1", scheme, n_files, epochs)).encode())
@@ -892,9 +911,7 @@ def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
         _SegmentSum.__call__, lexical.raw_encode, lexical._context_mix,
         lexical._context_mix_adjoint, lexical.shape_features, _parse_span,
     ):
-        code = getattr(fn, "__wrapped__", fn).__code__  # unwrap lru_cache
-        h.update(code.co_code)
-        h.update(repr(code.co_consts).encode())
+        _hash_code(getattr(fn, "__wrapped__", fn).__code__, h)  # unwrap lru_cache
     return h.hexdigest()[:16]
 
 

@@ -293,3 +293,24 @@ def test_train_spec_tag_invalidates(gold):
     assert _train_spec_tag("knolex", 40, 300) != base
     assert _train_spec_tag("caspar", 40, 200) != base
     assert _train_spec_tag("caspar", 30, 300) != base
+
+
+def test_train_spec_tag_stable_across_processes():
+    """The tag must be identical in a FRESH interpreter — nested
+    listcomp code objects land in co_consts and their repr embeds a
+    per-process memory address, so a naive repr(co_consts) hash makes
+    the cache miss on every run (the gate then silently retrains ~4
+    min per sweep). Guard the address-free recursive code hash."""
+    import subprocess
+    import sys
+
+    from sling_spark.kg.caspar import _train_spec_tag
+
+    here = _train_spec_tag("caspar", 40, 300)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from sling_spark.kg.caspar import _train_spec_tag;"
+         "print(_train_spec_tag('caspar', 40, 300))"],
+        capture_output=True, text=True, check=True,
+    )
+    assert out.stdout.strip() == here
