@@ -325,8 +325,27 @@ def parse_sse(chunks: Iterable[bytes]) -> Iterator[dict]:
     comment lines are ignored, multiple ``data:`` lines concatenate
     with newlines."""
     buf = b""
-    for chunk in chunks:
-        buf += chunk
+    held = b""  # a trailing CR may be half of a CRLF split across chunks
+
+    def _chunks_then_eof():
+        yield from chunks
+        yield None  # end-of-stream marker: flush a held final CR
+
+    for chunk in _chunks_then_eof():
+        if chunk is None:
+            raw, held = held, b""  # a last lone CR is a terminator
+            if not raw:
+                break
+        else:
+            raw = held + chunk
+            if raw.endswith(b"\r"):
+                raw, held = raw[:-1], b"\r"
+            else:
+                held = b""
+        # the SSE spec allows CRLF, LF or CR line terminators —
+        # normalize to LF so the blank-line message boundary is always
+        # b"\n\n" (a CRLF-framed capture would otherwise never frame)
+        buf += raw.replace(b"\r\n", b"\n").replace(b"\r", b"\n")
         while True:
             n = buf.find(b"\n\n")
             if n == -1:
@@ -459,35 +478,47 @@ def monitor_changes(db: RecordDatabase, changes: Iterable[dict], fetcher, *,
     while ordered-mode PUTs keep per-key revision order.  Returns the
     outcome matrix."""
     counts: dict[str, int] = {}
-    state = {"n": 0, "last_ts": None}
+    # The checkpoint must be PREFIX-SAFE under out-of-order completion:
+    # with threads>1 a later-timestamped change can finish while earlier
+    # ones are still queued or mid-fetch, and checkpointing that later
+    # timestamp would make a crash-restart (?since=) skip the earlier
+    # events permanently. So changes get stream-order sequence numbers
+    # and the recorded timestamp is that of the longest DONE prefix —
+    # restart then re-sees at most in-flight work (at-least-once, and
+    # ordered-mode PUTs make the replay idempotent).
+    state = {"n": 0, "done": {}, "prefix": 0, "prefix_ts": None}
     lock = threading.Lock()
 
-    def handle(change: dict) -> None:
+    def handle(change: dict, seq: int) -> None:
         label = process_change(db, change, fetcher, lang=lang)
+        ts = change.get("timestamp")
         with lock:
             counts[label] = counts.get(label, 0) + 1
             state["n"] += 1
-            ts = change.get("timestamp")
-            if ts is not None:
-                state["last_ts"] = int(ts)
-            if (checkpoint and state["last_ts"] is not None
+            state["done"][seq] = ts
+            while state["prefix"] in state["done"]:
+                pts = state["done"].pop(state["prefix"])
+                state["prefix"] += 1
+                if pts is not None:
+                    state["prefix_ts"] = int(pts)
+            if (checkpoint and state["prefix_ts"] is not None
                     and state["n"] % checkpoint_interval == 0):
-                _write_checkpoint(checkpoint, state["last_ts"])
+                _write_checkpoint(checkpoint, state["prefix_ts"])
 
     if threads <= 1:
-        for change in changes:
-            handle(change)
+        for seq, change in enumerate(changes):
+            handle(change, seq)
     else:
         queue: Queue = Queue(qsize)
 
         def worker() -> None:
             while True:
-                change = queue.get()
-                if change is None:
+                item = queue.get()
+                if item is None:
                     queue.task_done()
                     return
                 try:
-                    handle(change)
+                    handle(item[1], item[0])
                 finally:
                     queue.task_done()
 
@@ -495,14 +526,14 @@ def monitor_changes(db: RecordDatabase, changes: Iterable[dict], fetcher, *,
                 for _ in range(threads)]
         for t in pool:
             t.start()
-        for change in changes:
-            queue.put(change)
+        for seq, change in enumerate(changes):
+            queue.put((seq, change))
         for _ in pool:
             queue.put(None)
         queue.join()
     # final checkpoint so a clean shutdown never replays the whole tail
-    if checkpoint and state["last_ts"] is not None:
-        _write_checkpoint(checkpoint, state["last_ts"])
+    if checkpoint and state["prefix_ts"] is not None:
+        _write_checkpoint(checkpoint, state["prefix_ts"])
     return counts
 
 

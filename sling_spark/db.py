@@ -365,11 +365,17 @@ def make_db_service(databases: dict[str, RecordDatabase]):
             return databases.get(name), key, parse_qs(u.query)
 
         def _reply(self, code: int, body: bytes = b"",
-                   headers: dict | None = None, head_only: bool = False):
+                   headers: dict | None = None, head_only: bool = False,
+                   content_length: int | None = None):
             self.send_response(code)
             for k, v in (headers or {}).items():
                 self.send_header(k, str(v))
-            self.send_header("Content-Length", str(len(body)))
+            # head_only may pass the entity size explicitly so a HEAD on
+            # a large record never materializes a value-sized buffer
+            self.send_header(
+                "Content-Length",
+                str(len(body) if content_length is None else content_length),
+            )
             self.end_headers()
             if not head_only:
                 self.wfile.write(body)
@@ -397,7 +403,12 @@ def make_db_service(databases: dict[str, RecordDatabase]):
             hdrs = {"Content-Type": "application/json"}
             if nxt is not None:
                 hdrs["Next"] = nxt
-            return self._reply(200 if recs else 204, body, hdrs)
+            # always 200: a 204 must carry no body (RFC 7230), and this
+            # handler speaks keep-alive HTTP/1.1 — a 204 with "[]" in the
+            # socket would desynchronize the next request on the
+            # connection. An exhausted cursor is simply 200 + [] with no
+            # Next header (the DBDONE analog).
+            return self._reply(200, body, hdrs)
 
         def do_HEAD(self):
             db, key, _ = self._route()
@@ -406,8 +417,8 @@ def make_db_service(databases: dict[str, RecordDatabase]):
             version, vsize = db.head(key)
             if vsize == 0:
                 return self._reply(404, head_only=True)
-            return self._reply(200, b"x" * vsize, {"Version": version},
-                               head_only=True)
+            return self._reply(200, b"", {"Version": version},
+                               head_only=True, content_length=vsize)
 
         def do_PUT(self):
             db, key, _ = self._route()

@@ -944,14 +944,30 @@ def save_model(model: CasparModel, path: str) -> None:
     parent = p.rsplit("/", 1)[0]
     if parent:
         filesystem.create_dir(parent, recursive=True)
-    with filesystem.open_output_stream(p) as f:
+    # tmp-write + move: a concurrent reader (parallel test workers,
+    # bench beside serve) must never observe a half-written archive at
+    # the final name, and a crash mid-write must not leave a torn file
+    # that poisons every later cache load
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with filesystem.open_output_stream(tmp) as f:
         f.write(buf.getvalue())
+    try:
+        filesystem.move(tmp, p)
+    except OSError:
+        # another writer won the race with an identical artifact
+        # (training is bit-reproducible); discard ours
+        filesystem.delete_file(tmp)
 
 
 def load_model(path: str) -> CasparModel:
-    """Inverse of :func:`save_model`; the loaded model decodes
-    bit-identically to the freshly trained one (asserted in tests)."""
-    with open(path, "rb") as f:
+    """Inverse of :func:`save_model` (same pyarrow.fs URI support);
+    the loaded model decodes bit-identically to the freshly trained one
+    (asserted in tests)."""
+    from pyarrow import fs as pafs
+
+    uri = path if "://" in path else "file://" + path
+    filesystem, p = pafs.FileSystem.from_uri(uri)
+    with filesystem.open_input_stream(p) as f:
         z = np.load(io.BytesIO(f.read()))
     header = json.loads(bytes(z["header"]).decode("utf-8"))
     model = CasparModel(
@@ -989,7 +1005,12 @@ def trained_model(scheme: str = "caspar", n_files: int = 40,
     )
     path = os.path.join(cache_dir, f"{scheme}-{n_files}-{epochs}-{tag}.npz")
     if os.path.exists(path):
-        return load_model(path)
+        try:
+            return load_model(path)
+        except Exception:
+            # torn/garbled artifact (e.g. a crashed legacy writer):
+            # fall through to retrain; save_model's tmp+move replaces it
+            pass
     docs, inventory = fixture_gold(n_files)
     model = CasparModel(scheme, inventory)
     model.fit(docs, epochs=epochs)

@@ -225,19 +225,26 @@ def _hadoop_fs(spark: SparkSession, path_str: str):
 
 def _read_pointer(spark: SparkSession, path_str: str) -> int | None:
     fs, p, jvm = _hadoop_fs(spark, path_str)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
+    stream = None
     try:
+        # exists + open must BOTH be inside the guard: _write_pointer's
+        # delete→rename window means the file can vanish between them,
+        # and the JVM surfaces that as a Py4J error (FileNotFound), not
+        # a Python ValueError — any failure here falls back to the
+        # committed-version scan, which is the design's safety net
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
         reader = jvm.java.io.BufferedReader(
             jvm.java.io.InputStreamReader(stream, "UTF-8")
         )
         line = reader.readLine()
         return int(line.strip()) if line else None
-    except (ValueError, AttributeError):
-        return None  # partial/garbled pointer → committed-version scan
+    except Exception:
+        return None  # missing/partial/garbled pointer → committed scan
     finally:
-        stream.close()
+        if stream is not None:
+            stream.close()
 
 
 def _write_pointer(spark: SparkSession, state_dir: str, version: int) -> None:

@@ -265,7 +265,19 @@ def _next_boundary(sc: _ByteScanner, abs_from: int) -> int:
         nxt = sc.base + len(sc.buf)
         if nxt >= sc.size:
             return sc.size
-        pos = max(pos, nxt - 256)  # overlap for straddling patterns
+        # A match never spans a newline (the '.'-to-'\n' span contains
+        # no '\n'), so everything up to the buffer's LAST newline is
+        # decided; only the trailing partial line can still hold a
+        # pending match start. Resuming there keeps boundary(X) a pure
+        # function of the bytes at/after X — a fixed-size overlap would
+        # let two neighbor tasks with different refill histories skip
+        # a straddling match (e.g. a '.'-line with a very long trailing
+        # comment) and disagree on statement ownership.
+        last_nl = sc.buf.rfind(b"\n")
+        if last_nl >= 0:
+            pos = max(pos, sc.base + last_nl + 1)
+        # no newline in buffer yet: keep pos; _fill_to grows the buffer
+        # by at least one io step per iteration, so the loop advances
 
 
 def read_turtle_dump(spark, path: str, base_iri: str = "",

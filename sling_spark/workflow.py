@@ -73,3 +73,97 @@ def collect(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def identity(df: DataFrame) -> DataFrame:
+    """identity-mapper/-reducer (sling/task/identity.cc:24-66): relay
+    every message unchanged. Exists so reference pipelines that insert
+    an identity stage port 1:1; in a DataFrame plan it is a no-op (no
+    extra exchange, Catalyst elides it)."""
+    return df
+
+
+def sort_shards(df: DataFrame, key: str | list[str],
+                order: str | list[str] | None = None,
+                shards: int | None = None) -> DataFrame:
+    """sorter (sling/task/sorter.cc:37-57, :254): each shard's messages
+    leave in (key, serial) order — the external merge sort the reference
+    runs between sharder and a sorted reducer.  Spark twin: hash-
+    partition on the key (sharder placement, so equal keys stay in one
+    shard) then sortWithinPartitions on (key, order); the sort itself is
+    Spark's spill-aware UnsafeExternalSorter, so a shard larger than
+    executor memory externally merge-sorts exactly like the reference's
+    64 MB-spill design (sorter.cc:129-170) without any driver state."""
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = ([order] if isinstance(order, str) else list(order or []))
+    sharded = df.repartition(shards, *map(F.col, keys)) if shards \
+        else df.repartition(*map(F.col, keys))
+    return sharded.sortWithinPartitions(*keys, *orders)
+
+
+def null_sink(df: DataFrame) -> None:
+    """null sink (sling/task/null-sink.cc:22-28): execute the full plan
+    and silently discard every row.  Spark's built-in `noop` format is
+    exactly this processor — all scan/shuffle/compute work runs, nothing
+    is materialized; the standard way to benchmark a plan end-to-end."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def printer_sink(df: DataFrame, limit: int = 20) -> int:
+    """message printer (sling/task/message-printer.cc:25-35): log
+    incoming messages for debugging.  The reference prints EVERY message
+    to the task log; at engine scale that is only sane bounded, so this
+    prints the first ``limit`` rows (driver log) and returns the number
+    printed.  Pass ``limit=None`` to match the reference's print-all on
+    small channels."""
+    rows = df.collect() if limit is None else df.take(limit)
+    for r in rows:
+        print(f"[printer] {r.asDict()}")
+    return len(rows)
+
+
+def pipe_read(spark: SparkSession, commands: str | list[str],
+              buffer_rows: int = 10_000) -> DataFrame:
+    """pipe-reader (sling/task/pipe-reader.cc:28-67): run a shell
+    command and emit one message per output line.  Spark twin: one task
+    per command (a list of commands fans ingest out across executors —
+    e.g. one `zcat shard-N.gz` per shard), the subprocess streams
+    through an Arrow-batched mapInPandas in ``buffer_rows`` chunks so a
+    multi-GB pipe never materializes in one Python list.  Returns
+    DataFrame[command string, line string]; a non-zero exit status
+    fails the task loudly (the reference only logs — silent partial
+    ingest does not survive at scale)."""
+    cmds = [commands] if isinstance(commands, str) else list(commands)
+    seed = spark.createDataFrame(
+        [(c,) for c in cmds], "command string"
+    ).repartition(len(cmds))
+
+    def run(batches):
+        import subprocess
+
+        import pandas as pd
+
+        for pdf in batches:
+            for cmd in pdf["command"]:
+                proc = subprocess.Popen(
+                    cmd, shell=True, stdout=subprocess.PIPE,
+                    encoding="utf-8", errors="replace",
+                )
+                lines: list[str] = []
+                assert proc.stdout is not None
+                for line in proc.stdout:
+                    lines.append(line.rstrip("\n"))
+                    if len(lines) >= buffer_rows:
+                        yield pd.DataFrame(
+                            {"command": cmd, "line": lines}
+                        )
+                        lines = []
+                rc = proc.wait()
+                if rc != 0:
+                    raise RuntimeError(
+                        f"pipe command failed with exit {rc}: {cmd}"
+                    )
+                if lines:
+                    yield pd.DataFrame({"command": cmd, "line": lines})
+
+    return seed.mapInPandas(run, schema="command string, line string")

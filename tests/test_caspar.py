@@ -314,3 +314,41 @@ def test_train_spec_tag_stable_across_processes():
         capture_output=True, text=True, check=True,
     )
     assert out.stdout.strip() == here
+
+
+def test_artifact_cache_torn_file_recovers(tmp_path, monkeypatch):
+    """A torn/garbled cached artifact (crashed legacy writer, partial
+    copy) must be treated as a cache MISS — retrain and atomically
+    replace — never a hard failure that poisons every later call. Also
+    pins the tmp+move write discipline (no half-written file is ever
+    visible at the final name, no tmp residue is left behind)."""
+    from sling_spark.kg import caspar as C
+
+    monkeypatch.setenv("SLING_SPARK_MODEL_DIR", str(tmp_path))
+    C.trained_model.cache_clear()
+    tag = C._train_spec_tag("caspar", 2, 2)
+    path = tmp_path / f"caspar-2-2-{tag}.npz"
+    path.write_bytes(b"definitely not a zip archive")
+    try:
+        m = C.trained_model("caspar", 2, 2)
+    finally:
+        C.trained_model.cache_clear()
+    lm = C.load_model(str(path))  # torn file was replaced by a good one
+    assert np.array_equal(lm.main.w1, m.main.w1)
+    assert not list(tmp_path.glob("*.tmp-*"))
+
+
+def test_model_save_load_uri_symmetry(gold, tmp_path):
+    """save_model supports pyarrow.fs URIs; load_model must accept the
+    SAME addressing (a model saved to file://... must load back from
+    file://...)."""
+    from sling_spark.kg.caspar import load_model, save_model
+
+    docs, inv = gold
+    m = CasparModel("caspar", inv)
+    m.fit(docs[:4], epochs=10)
+    uri = "file://" + str(tmp_path / "m.npz")
+    save_model(m, uri)
+    lm = load_model(uri)
+    assert np.array_equal(lm.main.w1, m.main.w1)
+    assert lm.groups == m.groups

@@ -279,3 +279,90 @@ def test_wikidaily_cli(tmp_path, stub_path, fetch_dir):
 
     db = RecordDatabase.open(dbfile)
     assert db.get("Q2").version == 500
+
+
+def test_sse_crlf_framing():
+    """SSE allows CRLF (and CR) line terminators; a CRLF-framed capture
+    must still frame — including when the CRLF pair is split across
+    chunk boundaries."""
+    raw = b"event: message\r\ndata: one\r\n\r\nevent: message\rdata: two\r\r"
+    # split INSIDE the first \r\n\r\n so a held CR crosses a chunk edge
+    cut = raw.find(b"\r\n\r\n") + 1
+    events = list(crawl.parse_sse([raw[:cut], raw[cut:]]))
+    assert [e["data"] for e in events] == [b"one", b"two"]
+    # single-byte chunks: every CR/LF straddles a boundary
+    events = list(crawl.parse_sse([bytes([b]) for b in raw]))
+    assert [e["data"] for e in events] == [b"one", b"two"]
+
+
+def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
+    """With threads>1, the interval checkpoint must never record a
+    timestamp ahead of a still-unfinished earlier event: a crash after
+    that write would make the ?since= restart skip the earlier event
+    forever. The fetcher below stalls the FIRST event until the second
+    has completed, so a last-completed-wins checkpoint would record
+    ts=2000 while ts=1000 is still in flight."""
+    import threading as _threading
+
+    first_may_finish = _threading.Event()
+    second_done = _threading.Event()
+    ckpt = str(tmp_path / "ckpt")
+
+    class StallFirstFetcher:
+        def fetch(self, qid, revision):
+            if qid == "Q1":
+                # wait until Q2 is fully processed (incl. its checkpoint
+                # opportunity); guard with a timeout so a bug fails the
+                # test instead of hanging it
+                assert first_may_finish.wait(timeout=30)
+            return json.dumps(_entity(qid, f"{qid} r{revision}"))
+
+    db = RecordDatabase()
+
+    def change(title, rev, ts):
+        return {"wiki": "wikidatawiki", "title": title, "type": "edit",
+                "timestamp": ts, "comment": "", "revision": {"new": rev}}
+
+    changes = [change("Q1", 5, 1000), change("Q2", 6, 2000)]
+
+    orig_process = crawl.process_change
+    orig_write = crawl._write_checkpoint
+    q1_done = _threading.Event()
+    writes: list[tuple[int, bool]] = []  # (ts written, was Q1 done?)
+
+    def tracking_process(db_, ch, fetcher, **kw):
+        out = orig_process(db_, ch, fetcher, **kw)
+        if ch["title"] == "Q2":
+            second_done.set()
+        else:
+            q1_done.set()
+        return out
+
+    def tracking_write(path, ts):
+        writes.append((ts, q1_done.is_set()))
+        orig_write(path, ts)
+
+    watcher = _threading.Thread(
+        target=lambda: (second_done.wait(timeout=30),
+                        first_may_finish.set()),
+        daemon=True,
+    )
+    watcher.start()
+    try:
+        crawl.process_change = tracking_process
+        crawl._write_checkpoint = tracking_write
+        crawl.monitor_changes(db, changes, StallFirstFetcher(),
+                              checkpoint=ckpt, checkpoint_interval=1,
+                              threads=2)
+    finally:
+        crawl.process_change = orig_process
+        crawl._write_checkpoint = orig_write
+    # the at-least-once invariant: ts=2000 may only be checkpointed once
+    # Q1 (ts=1000) has completed — a crash at any earlier write must
+    # leave Q1 replayable
+    for ts, q1_was_done in writes:
+        assert ts < 2000 or q1_was_done, f"checkpointed {ts} before Q1 done"
+    # final checkpoint (all done) is the full prefix
+    assert crawl.read_checkpoint(ckpt) == 2000
+    # and the store holds both events — nothing was skipped
+    assert db.get("Q1").version == 5 and db.get("Q2").version == 6

@@ -287,3 +287,40 @@ def _kb_rows(df):
             for s in (r["statements"] or [])))
         out.add((r["id"], r["name"], tuple(sorted(r["types"] or [])), sts))
     return out
+
+
+def test_http_keepalive_exhausted_cursor(http_db):
+    """An exhausted batch cursor must answer 200 with a JSON body, never
+    204-with-body: the handler speaks keep-alive HTTP/1.1, and a body on
+    a 204 would desynchronize the next request on the same connection."""
+    import http.client
+
+    db, base = http_db
+    db.put("k1", "v1", version=1)
+    host, port = base.rsplit("://", 1)[1].rsplit(":", 1)
+    conn = http.client.HTTPConnection(host, int(port))
+    try:
+        # drain the log, then poll the exhausted cursor on the SAME
+        # connection and make a third request after it
+        conn.request("GET", "/db/test?id=0&n=10")
+        r1 = conn.getresponse()
+        batch = json.loads(r1.read())
+        assert [b["key"] for b in batch] == ["k1"]
+        nxt = db.epoch()
+        conn.request("GET", f"/db/test?id={nxt}&n=10")
+        r2 = conn.getresponse()
+        assert r2.status == 200 and json.loads(r2.read()) == []
+        assert r2.getheader("Next") is None  # DBDONE analog
+        conn.request("GET", "/db/test/k1")
+        r3 = conn.getresponse()
+        assert (r3.status, r3.read()) == (200, b"v1")
+    finally:
+        conn.close()
+
+
+def test_head_has_size_without_body(http_db):
+    db, base = http_db
+    db.put("big", "x" * 4096, version=7)
+    st, body, hdrs = _req(f"{base}/db/test/big", "HEAD")
+    assert st == 200 and body == b""
+    assert hdrs["Content-Length"] == "4096" and hdrs["Version"] == "7"

@@ -200,6 +200,11 @@ def test_streaming_state_non_posix_path(spark, tmp_path):
     # _SUCCESS commit markers
     os.remove(os.path.join(local_state, "_current"))
     assert _current_version(spark, state) == 1
+    # ... and so does a GARBLED pointer (half-written text): the read
+    # must swallow the parse failure and fall back, not crash the batch
+    with open(os.path.join(local_state, "_current"), "w") as f:
+        f.write("garbage\x00")
+    assert _current_version(spark, state) == 1
 
 
 def test_streaming_delta_maintenance(spark, tmp_path):

@@ -139,3 +139,34 @@ def test_turtle_dump_rejects_midfile_directive(spark, tmp_path):
     )
     with pytest.raises(Exception, match="directive past the header"):
         read_turtle_dump(spark, str(p), chunk_bytes=1 << 16).collect()
+
+
+def test_next_boundary_refill_invariant(tmp_path):
+    """boundary(X) must be a pure function of the bytes at/after X —
+    independent of the scanner's io size and base offset (i.e. of each
+    task's refill history). The regression case is a '.'-terminated line
+    with a trailing comment far longer than any fixed refill overlap:
+    the old fixed -256 resume could skip the straddling match and let
+    neighbor tasks disagree on statement ownership."""
+    from pyarrow import fs as pafs
+
+    from sling_spark.sources.dumpsplit import _ByteScanner, _next_boundary
+
+    text = ":a :b :c . #" + "c" * 1000 + "\n:d :e :f .\n"
+    data = text.encode()
+    path = tmp_path / "long_comment.ttl"
+    path.write_bytes(data)
+    fs = pafs.LocalFileSystem()
+
+    def boundary(abs_from: int, io_bytes: int, base: int) -> int:
+        with fs.open_input_file(str(path)) as f:
+            sc = _ByteScanner(f, base, len(data), io_bytes=io_bytes)
+            return _next_boundary(sc, abs_from)
+
+    first = data.find(b"\n") + 1
+    second = len(data)
+    for io_bytes in (16, 64, 256, 1 << 20):
+        for base in (0, 3):
+            assert boundary(3, io_bytes, base) == first, (io_bytes, base)
+        assert boundary(first, io_bytes, first) == second
+        assert boundary(0, io_bytes, 0) == first

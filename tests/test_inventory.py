@@ -115,6 +115,50 @@ def test_workflow_facade(spark, tmp_path):
     assert merged.count() == 6
 
 
+def test_workflow_sorter_pipe_and_sinks(spark, capsys):
+    from sling_spark import workflow as wf
+
+    df = spark.createDataFrame(
+        [(k, i) for k in ("a", "b", "c") for i in (3, 1, 2)],
+        "k string, serial long",
+    )
+    # identity relays unchanged (identity.cc)
+    assert wf.identity(df) is df
+
+    # sorter: equal keys co-located in one shard, rows leave each shard
+    # in (key, serial) order — collect() preserves within-partition order
+    rows = (
+        wf.sort_shards(df, "k", order="serial", shards=2)
+        .withColumn("pid", F.spark_partition_id())
+        .collect()
+    )
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append((r["k"], r["serial"]))
+    key_homes = {}
+    for pid, seq in by_pid.items():
+        assert seq == sorted(seq), f"shard {pid} not in (key, serial) order"
+        for k, _ in seq:
+            assert key_homes.setdefault(k, pid) == pid, f"key {k} split across shards"
+
+    # null sink executes the plan and discards (noop format)
+    wf.null_sink(df)
+
+    # printer logs bounded rows and reports how many
+    assert wf.printer_sink(df, limit=4) == 4
+    assert "[printer]" in capsys.readouterr().out
+
+    # pipe-reader: one task per command, line-per-message, loud failure
+    lines = wf.pipe_read(spark, ["printf 'x\\ny\\n'", "seq 1 5"]).collect()
+    got: dict[str, list[str]] = {}
+    for r in lines:
+        got.setdefault(r["command"], []).append(r["line"])
+    assert got["printf 'x\\ny\\n'"] == ["x", "y"]
+    assert sorted(got["seq 1 5"], key=int) == ["1", "2", "3", "4", "5"]
+    with pytest.raises(Exception, match="exit"):
+        wf.pipe_read(spark, "exit 3").collect()
+
+
 def test_kb_aggregates(spark):
     from sling_spark.kg.aggregates import (
         best_per_group,
