@@ -245,15 +245,31 @@ class RecordDatabase:
     def flush(self, path: str) -> int:
         """Persist the full log; returns the persisted epoch.  The write
         goes through pyarrow.fs (file://, hdfs://, s3://) and lands via
-        a temp-name move where the filesystem supports it."""
+        a temp-name move, so a crash mid-flush never leaves a torn log
+        at the final name — :meth:`open` either sees the previous
+        complete log or the new one."""
+        import os
+
         from pyarrow import fs as pafs
 
         filesystem, p = pafs.FileSystem.from_uri(_with_scheme(path))
         parent = p.rsplit("/", 1)[0]
         if parent:
             filesystem.create_dir(parent, recursive=True)
-        with filesystem.open_output_stream(p) as f:
-            f.write(self._serialize())
+        tmp = f"{p}.tmp-{os.getpid()}"
+        try:
+            with filesystem.open_output_stream(tmp) as f:
+                f.write(self._serialize())
+            filesystem.move(tmp, p)
+        except Exception:
+            # Unlike the model-artifact cache (bit-identical racers),
+            # a dropped db flush silently loses mutations — clean the
+            # temp file up but surface the failure.
+            try:
+                filesystem.delete_file(tmp)
+            except OSError:
+                pass
+            raise
         return self.epoch()
 
     @classmethod

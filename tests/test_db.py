@@ -118,6 +118,26 @@ def test_persistence_roundtrip(tmp_path):
     assert db3.epoch() == 0
 
 
+def test_flush_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-flush never leaves a torn log at the final name and
+    never litters the state dir with temp files."""
+    path = str(tmp_path / "db.log")
+    db = RecordDatabase()
+    db.put("x", "v1")
+    db.flush(path)
+    assert [f.name for f in tmp_path.iterdir()] == ["db.log"]
+
+    db.put("y", "v2")
+    monkeypatch.setattr(RecordDatabase, "_serialize",
+                        lambda self: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(OSError):
+        db.flush(path)
+    # the previous complete log survives, the temp file is cleaned up
+    assert [f.name for f in tmp_path.iterdir()] == ["db.log"]
+    db2 = RecordDatabase.open(path)
+    assert db2.epoch() == 1 and db2.get("x").value == b"v1"
+
+
 def test_read_only():
     db = RecordDatabase(read_only=True)
     assert db.put("a", "1")[1] == 5  # DBFAULT
