@@ -2548,6 +2548,8 @@ def queries():
         "kg_xml_frames": q_kg_xml_frames,
         "kg_phrase_structure": q_kg_phrase_structure,
         "kg_lex": q_kg_lex,
+        "kg_caspar_decode": q_kg_caspar_decode,
+        "emb_ann_lsh": q_emb_ann_lsh,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q5_region_revenue": q_tpch_q5,
@@ -2573,7 +2575,6 @@ def queries():
         "doc_contamination": q_doc_contamination,
         "doc_minhash": q_doc_minhash,
         "doc_simhash": q_doc_simhash,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -2588,16 +2589,22 @@ def queries():
         "kg_inverse_fanin": q_kg_inverse_fanin,
         "kg_search_index": q_kg_search_index,
         "kg_ntriples": q_kg_ntriples,
-        "kg_turtle": q_kg_turtle,
         "kg_property_usage": q_kg_property_usage,
+        # -- beyond the driver's 50-entry recording budget (still part of
+        # the contract; all have oracles and stay green in
+        # tools/check_contract.py full sweeps): redundant twins of
+        # in-gate queries (kg_turtle~kg_ntriples, doc_simhash_pairs~
+        # doc_simhash, doc_lsh_candidates~doc_dedup_clusters,
+        # emb_ann_ivf~emb_ann_lsh) and parser internals that
+        # kg_caspar_decode subsumes.
+        "kg_turtle": q_kg_turtle,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_lsh_candidates": q_doc_lsh_candidates,
-        "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "kg_biaffine_spans": q_kg_biaffine_spans,
         "kg_bio_spans": q_kg_bio_spans,
         "kg_transitions": q_kg_transitions,
         "kg_action_table": q_kg_action_table,
-        "kg_caspar_decode": q_kg_caspar_decode,
     }
     return {name: _with_session_conf(fn) for name, fn in out.items()}
 
