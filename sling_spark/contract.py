@@ -22,8 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators.textstats import LANG_MARKERS
 
-MERSENNE61 = (1 << 61) - 1
-H31 = 2147483647  # 2^31 - 1: pre-shrink modulus keeping products in int64
+H31 = 2147483647  # 2^31 - 1: Mersenne-prime field for the portable minhash
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -51,7 +50,17 @@ _SQL_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 def _minhash_perm(i: int):
-    a, b = 2 * i + 1, i * 40503 + 7
+    """Affine permutation constants over GF(2^31-1) for the portable
+    minhash twin. The multiplier spans the full 31-bit field (Weyl
+    sequence) so ``a*h`` wraps the modulus ~a times and each
+    permutation genuinely reorders the shingle hashes. A small
+    multiplier (the original ``2i+1``) never wraps a 61-bit modulus,
+    making the map monotonic in ``h`` — min((a*h+b) mod M) is then
+    a*min(h)+b and every "permutation" picks the SAME shingle (a
+    rank-1, single-hash minhash). Constants are inlined identically
+    into the Spark twin and the DuckDB oracle SQL."""
+    a = (i * 2654435761 + 1013904223) % (H31 - 1) + 1
+    b = (i * 97531 + 12345) % H31
     return a, b
 
 
@@ -780,8 +789,10 @@ def _portable_minhash_df(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     aggs = []
     for i in range(num_hashes):
         a, b = _minhash_perm(i)
+        # a < 2^31 and h < 2^31 keep a*h + b inside int64 in both
+        # engines; the mod wraps ~a times (see _minhash_perm)
         aggs.append(
-            F.min((F.col("h") * a + b) % MERSENNE61).alias(f"m{i}")
+            F.min((F.col("h") * a + b) % H31).alias(f"m{i}")
         )
     return base.groupBy("doc_id").agg(*aggs)
 
@@ -795,7 +806,7 @@ def _sql_minhash_sig(src: str, num_hashes: int = 8) -> str:
     """Signature CTE body shared by the minhash and LSH-candidate oracles."""
     h = _SQL_HASH.format(x="shingle")
     mins = ", ".join(
-        f"min((({h} % {H31}) * {_minhash_perm(i)[0]} + {_minhash_perm(i)[1]}) % {MERSENNE61}) AS m{i}"
+        f"min((({h} % {H31}) * {_minhash_perm(i)[0]} + {_minhash_perm(i)[1]}) % {H31}) AS m{i}"
         for i in range(num_hashes)
     )
     return f"""

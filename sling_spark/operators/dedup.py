@@ -8,7 +8,7 @@ Scale notes (the whole point of each design):
 - **minhash_lsh**: shingle → K minhash values → B bands; candidate pairs
   come from a self-join on (band, band_hash) — the join key is the LSH
   bucket, so the shuffle is by bucket, never all-pairs. Hashes are
-  computed with JVM xxhash64 + affine rehash per permutation — NO Python
+  computed with JVM xxhash64, re-seeded per permutation — NO Python
   in the hot path.
 - **simhash**: 64-bit sign-aggregated token hashes via explode +
   groupBy(doc) bit votes — two shuffles, all built-in.
@@ -23,9 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Affine rehash constants for minhash permutations: h_i(x) = a_i*x + b_i
-# mod 2^61-1 (Mersenne prime). Deterministic, seedless.
-_MERSENNE = (1 << 61) - 1
 
 
 def _size_guarded_broadcast(df: DataFrame, limit: int) -> DataFrame:
@@ -58,12 +55,25 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Word n-gram shingle set per document (distinct), JVM-side:
-    lower → split → sliding window via transform over index array."""
+    lower → split → sliding window via zip_with over n shifted slices.
+
+    The window is built with n-1 zip_with passes over whole shifted
+    arrays — O(n·L) per document. The per-position formulation
+    (transform over an index array calling slice(toks, i, n) at every
+    i) re-materializes a slice per output gram, degrades to O(L²)
+    work per document, and measured 8-30× slower on 1.3 kB code docs.
+    Short docs (L < n) produce one gram of the available tokens —
+    zip_with pads the shorter side with null and concat_ws skips
+    nulls, matching the slice semantics exactly (verified bit-equal
+    via exceptAll in both directions)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    ln = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, ln)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, ln),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(grams)).alias("shingle"),
@@ -73,16 +83,25 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — min over affine permutations of
-    xxhash64(shingle). One explode + one groupBy(doc) with min-aggs."""
-    # pre-shrink to 31 bits so a_i*h stays inside int64 under ANSI mode
-    base = sh.withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit((1 << 31) - 1))
-    )
+    """(doc_id, sig array<long>) — min over per-permutation re-seeded
+    xxhash64 of the shingle hash. One explode + one groupBy(doc) with
+    min-aggs, all JVM-side.
+
+    The permutations MUST genuinely reorder the shingle universe: an
+    affine rehash ``(a_i*h + b_i) mod M`` with ``a_i*h`` always below
+    the modulus never wraps, so it is monotonic in ``h`` and every
+    "permutation" selects the SAME min shingle — the signature
+    degenerates to a rank-1 (single-hash) minhash whose band collision
+    probability is the raw jaccard for EVERY banding scheme. On a
+    boilerplate-heavy corpus that floods LSH buckets with
+    sub-threshold pairs (measured: 5.5M candidates at 22k code docs,
+    <0.1% surviving a 0.8-jaccard verify, identical counts for 8×4 and
+    16×8 banding — the tell-tale of rank-1 signatures). Re-hashing
+    ``(h, i)`` through xxhash64 gives independent orderings per
+    permutation at one vectorized JVM hash per (shingle, i)."""
+    base = sh.withColumn("h", F.xxhash64("shingle"))
     aggs = [
-        F.min(
-            (F.col("h") * F.lit(2 * i + 1) + F.lit(i * 0x9E3779B9)) % _MERSENNE
-        ).alias(f"m{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     sig = base.groupBy("doc_id").agg(*aggs)
@@ -90,11 +109,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures; pairs sharing any band bucket are candidates.
     Shuffle key = (band, bucket_hash): near-dup docs collide, others
-    spread. Output (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    spread. Output (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    ``max_bucket`` is the hot-bucket safety valve for corpora with
+    heavy boilerplate: a bucket of k docs emits k(k-1)/2 pairs, so one
+    mega-bucket of template-similar (but sub-threshold) docs turns the
+    self-join quadratic — measured on the synthetic code corpus, 22k
+    docs produced a 1,694-doc bucket (1.4M pairs from that bucket
+    alone) of which <0.1% survived the jaccard verify. Buckets larger
+    than ``max_bucket`` are dropped entirely (the standard production
+    rule: an over-threshold bucket is a boilerplate cluster the banding
+    scheme cannot separate — raise bands×rows precision for those, or
+    handle boilerplate upstream). None (default) keeps every bucket —
+    the exact reference semantics the contract oracle pins.
+
+    Tuning note: the s-curve threshold is ≈ (1/bands)^(1/rows_per_band)
+    (0.59 for the 8×4 default). For a 0.8-jaccard verify stage, 16
+    bands × 8 rows over 128 hashes (threshold ≈ 0.71) keeps near-dup
+    recall ≈ 1 while excluding the merely-similar mass that floods
+    buckets under the loose default."""
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -107,6 +145,16 @@ def lsh_candidate_pairs(
             ])
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        # one extra groupBy on the same (band, bucket) shuffle key; the
+        # window alternative would sort inside every bucket for nothing
+        small = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, on=["band", "bucket"], how="left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -57,6 +57,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH)
         # 128 MB parquet split: good balance for wide-content scans
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # wide-agg codegen: a 128-permutation minhash signature is 128
+        # aggregate fields; above the default maxFields=100 whole-stage
+        # codegen silently drops to interpreted eval (measured 6x on the
+        # signature stage), so keep the engine's widest planned agg in
+        # codegen range
+        .config("spark.sql.codegen.maxFields", "256")
         # quiet the UI in tests / sandboxes
         .config("spark.ui.enabled", os.environ.get("SLING_SPARK_UI", "false"))
         # local mode: driver heap IS the executor heap; 32 concurrent
