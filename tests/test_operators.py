@@ -59,6 +59,78 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert jac[(1, 2)] > 0.9
 
 
+def test_minhash_permutations_are_independent(spark):
+    """Anti-regression for the rank-1 minhash bug: a monotonic rehash
+    makes every permutation select the SAME min shingle, so all
+    signature positions of a doc move in lock-step and band collision
+    probability equals raw jaccard for every banding scheme. Genuine
+    permutations must (a) rank different shingles first in different
+    positions and (b) NOT bucket two moderately-similar docs under a
+    precise (many rows per band) scheme while still bucketing
+    near-identical ones."""
+    from sling_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base + " extra"  # jaccard ~ 0.97
+    # ~50% token overlap → jaccard ~ 0.33: a rank-1 signature buckets
+    # this pair with probability ~ jaccard in EVERY band of EVERY scheme
+    half = " ".join(f"tok{i}" for i in range(40)) + " " + " ".join(
+        f"yyy{i}" for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, half)], "doc_id long, text string"
+    )
+    sh = shingles(docs, "doc_id", "text", n=3).persist()
+    sig = minhash_signatures(sh, num_hashes=64)
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    # (a) positions disagree: base and half share ~1/3 of their
+    # shingles, so a rank-1 signature matches in ALL positions (when
+    # the shared min-shingle wins both) or NONE — independent
+    # permutations match in ~jaccard of the positions (E ≈ 21/64)
+    matches = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert 0 < matches < 64
+    # (b) precise banding separates near-dup from merely-similar
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, bands=8, rows_per_band=8).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_lsh_max_bucket_drops_hot_buckets(spark):
+    """max_bucket: byte-identical docs land in the same bucket in every
+    band; a cap below the clique size drops those buckets entirely
+    while unrelated small buckets are unaffected. Default None keeps
+    the quadratic exact semantics (the contract-pinned behavior)."""
+    from sling_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    boiler = " ".join(f"tok{i}" for i in range(50))
+    rows = [(i, boiler) for i in range(1, 11)]  # 10-doc identical clique
+    other = " ".join(f"bbb{i}" for i in range(50))
+    rows += [(100, other), (101, other + " tail")]  # jaccard ~ 0.98 pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(shingles(docs, "doc_id", "text"), num_hashes=32)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, max_bucket=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, max_bucket=4).collect()
+    }
+    clique = {(a, b) for a in range(1, 11) for b in range(1, 11) if a < b}
+    assert clique <= full and (100, 101) in full
+    assert capped & clique == set() and (100, 101) in capped
+
+
 def test_similarity_lsh_vs_bruteforce_recall(spark):
     from sling_spark.operators.similarity import brute_force_topk, lsh_topk
 
