@@ -326,12 +326,43 @@ def build_assets(
     return spark.sparkContext.broadcast(assets), pt_df
 
 
+def asset_store_future(
+    spark: SparkSession,
+    seed: dict[str, DataFrame],
+    store_dir: str,
+    min_alias_count: int = 2,
+):
+    """Store-mode analog of :func:`phrase_table_future`: launch the five
+    corpus-INDEPENDENT asset writes (phrase table, links, popularity,
+    facts, gender) on background job-submitter threads at pipeline
+    start, so their Spark jobs interleave into free task slots while the
+    corpus/documents/stats stages run. Only the IDF table depends on the
+    corpus; :func:`build_asset_store` writes it after the stats pass and
+    joins these writes. Pass the returned handle as ``store_future``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = asset_dataframes(spark, seed, min_alias_count=min_alias_count)
+    pool = ThreadPoolExecutor(
+        max_workers=len(dfs), thread_name_prefix="asset-store"
+    )
+
+    def write(item):
+        name, df = item
+        df.write.mode("overwrite").parquet(os.path.join(store_dir, name))
+        return name
+
+    writes = [pool.submit(write, it) for it in dfs.items()]
+    pool.shutdown(wait=False)
+    return {"dir": store_dir, "dfs": dfs, "writes": writes}
+
+
 def build_asset_store(
     spark: SparkSession,
     documents: DataFrame,
     store_dir: str,
     seed: dict[str, DataFrame] | None = None,
     min_alias_count: int = 2,
+    store_future=None,
 ):
     """Store-mode asset build (the 100×-scale path): write every asset
     DataFrame to ``store_dir`` as Parquet and broadcast only the
@@ -340,24 +371,35 @@ def build_asset_store(
     ``spark.driver.maxResultSize`` entirely. Workers load the Parquet
     lazily (pyarrow) and cache per process, the SLING repository
     memory-map analog. Returns (broadcast-of-AssetStore,
-    phrase_table_df)."""
+    phrase_table_df).
+
+    ``store_future`` (from :func:`asset_store_future`) means the five
+    corpus-independent writes were launched at pipeline start and have
+    been overlapping the corpus stages; only the IDF write remains."""
     seed = seed or seed_dataframes(spark)
-    dfs = asset_dataframes(spark, seed, min_alias_count=min_alias_count)
-    dfs = dict(dfs, idf=idf_table(documents))
-    # concurrent writes: the 5 KB-derived tables are corpus-independent
-    # and small, while the IDF table runs the corpus tokenize pass —
-    # submitting all six jobs at once lets the dimension writes fill
-    # slots the wide IDF job leaves idle instead of serializing a
-    # scheduling tail after it (same overlap the broadcast mode gets
-    # from phrase_table_future)
     from concurrent.futures import ThreadPoolExecutor
 
     def write(item):
         name, df = item
         df.write.mode("overwrite").parquet(os.path.join(store_dir, name))
 
-    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
-        list(ex.map(write, dfs.items()))
+    if store_future is not None and store_future["dir"] == store_dir:
+        idf_df = idf_table(documents)
+        write(("idf", idf_df))
+        for f in store_future["writes"]:
+            f.result()  # join + propagate any background write error
+        dfs = dict(store_future["dfs"], idf=idf_df)
+    else:
+        dfs = asset_dataframes(spark, seed, min_alias_count=min_alias_count)
+        dfs = dict(dfs, idf=idf_table(documents))
+        # concurrent writes: the 5 KB-derived tables are corpus-independent
+        # and small, while the IDF table runs the corpus tokenize pass —
+        # submitting all six jobs at once lets the dimension writes fill
+        # slots the wide IDF job leaves idle instead of serializing a
+        # scheduling tail after it (same overlap the broadcast mode gets
+        # from phrase_table_future)
+        with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+            list(ex.map(write, dfs.items()))
     # unique build token: rebuilding at the same path must invalidate
     # worker-side _STORE_CACHE entries from earlier builds (ADVICE r02)
     token = uuid.uuid4().hex

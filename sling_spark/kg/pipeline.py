@@ -71,7 +71,14 @@ def run_pipeline(
     seed = seed or seed_dataframes(spark)
     # corpus-independent branch starts immediately: its jobs interleave
     # with the corpus/documents/stats stages below (two submitter threads)
-    pt_future = None if asset_store_dir else phrase_table_future(spark, seed)
+    pt_future = None
+    store_future = None
+    if asset_store_dir:
+        from .assets import asset_store_future
+
+        store_future = asset_store_future(spark, seed, asset_store_dir)
+    else:
+        pt_future = phrase_table_future(spark, seed)
     if corpus is None and checkpoint_dir is None:
         # synthetic corpus, no raw-corpus checkpoint requested: generate
         # the latest-version documents DIRECTLY (zero-shuffle; the
@@ -110,7 +117,7 @@ def run_pipeline(
         from .assets import build_asset_store
 
         assets_bc, phrase_table = build_asset_store(
-            spark, stats, asset_store_dir, seed
+            spark, stats, asset_store_dir, seed, store_future=store_future
         )
     else:
         assets_bc, phrase_table = build_assets(

@@ -417,6 +417,46 @@ def test_asset_store_scale_path(spark, tmp_path):
     stats.unpersist()
 
 
+def test_asset_store_future_overlap_equivalence(spark, tmp_path):
+    """asset_store_future (corpus-independent writes launched at
+    pipeline start, overlapping the corpus stages on background
+    submitter threads) must leave the store byte-for-byte equivalent in
+    content to the serial build_asset_store path: same table names, same
+    rows, and workers load identical assets from either."""
+    from sling_spark.kg.assets import (
+        asset_store_future,
+        build_asset_store,
+        load_assets,
+        seed_dataframes,
+    )
+    from sling_spark.kg.documents import doc_stats, latest_with_sha
+    from sling_spark.sources.corpus import corpus_df
+
+    seed = seed_dataframes(spark)
+    dir_fut = str(tmp_path / "fut")
+    fut = asset_store_future(spark, seed, dir_fut)
+    docs = latest_with_sha(corpus_df(spark, 30, partitions=4)).persist()
+    stats = doc_stats(docs).persist()
+    stats.count()
+    bc_fut, pt_fut = build_asset_store(
+        spark, stats, dir_fut, seed, store_future=fut
+    )
+    dir_ser = str(tmp_path / "ser")
+    bc_ser, pt_ser = build_asset_store(spark, stats, dir_ser, seed)
+
+    a_fut = load_assets(bc_fut.value)
+    a_ser = load_assets(bc_ser.value)
+    assert a_fut.phrase_table == a_ser.phrase_table
+    assert a_fut.idf == a_ser.idf
+    assert a_fut.popularity == a_ser.popularity
+    assert a_fut.links == a_ser.links
+    assert a_fut.statements == a_ser.statements
+    assert a_fut.gender == a_ser.gender
+    assert sorted(map(repr, pt_fut.collect())) == sorted(map(repr, pt_ser.collect()))
+    docs.unpersist()
+    stats.unpersist()
+
+
 def test_alias_selector_thresholds(spark):
     """Full AliasSelector semantics (reference aliases.cc:246-624):
     anchor_threshold on pure anchors, variation adoption gated by
