@@ -10,6 +10,10 @@ Stage DAG (SURVEY.md §7):
     seed same_as ─ xref clusters ──┬─ canonicalized triples ─────────────┤
     seed items + fragments ─ (+ inverse-property fragments)              │
                   ─ reconcile/merge ─ kb_items ─ kb_triples ─────────────┴─ triples
+    (the seed-KB branch — clusters + reconcile/merge — also runs on its
+    own job-submitter thread, overlapping the corpus stages: it is
+    corpus-independent, and as a serial tail its dimension-sized shuffle
+    stages cost a fixed ~6s at ANY corpus size / core count)
 
 (Synthetic, checkpoint-less runs replace the corpus→documents pair with
 the zero-shuffle `synthetic_documents` generator; asset consumption is
@@ -69,8 +73,9 @@ def run_pipeline(
     assets to the Parquet-backed worker-side store (no driver collect —
     the path for a KB that outgrows broadcast)."""
     seed = seed or seed_dataframes(spark)
-    # corpus-independent branch starts immediately: its jobs interleave
-    # with the corpus/documents/stats stages below (two submitter threads)
+    # corpus-independent branches start immediately: their jobs
+    # interleave with the corpus/documents/stats stages below (separate
+    # job-submitter threads; Spark submission is thread-safe)
     pt_future = None
     store_future = None
     if asset_store_dir:
@@ -79,6 +84,41 @@ def run_pipeline(
         store_future = asset_store_future(spark, seed, asset_store_dir)
     else:
         pt_future = phrase_table_future(spark, seed)
+
+    # seed-KB fuse branch (xref clusters + reconcile/merge): everything
+    # here derives from the seed KB only, yet as a serial tail it costs
+    # a fixed ~6s regardless of corpus size or core count (dozens of
+    # dimension-sized shuffle stages) — scaling poison measured in the
+    # 8-vs-32 profile. Run it concurrently with the corpus stages; the
+    # main thread joins right before the final union.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _kb_branch():
+        clusters = _materialize(
+            build_clusters(seed["same_as"]), spark, checkpoint_dir, "clusters"
+        )
+        if checkpoint_dir is None:
+            clusters = clusters.persist()
+        kb_sources = seed["items"].withColumn(
+            "source_priority", F.lit(0)
+        ).unionByName(seed["fragments"])
+        all_items = kb_sources.unionByName(
+            invert_statements(kb_sources), allowMissingColumns=True
+        )
+        merged = _materialize(
+            merge_items(reconcile_items(all_items, clusters)),
+            spark,
+            checkpoint_dir,
+            "kb_items",
+        )
+        if checkpoint_dir is None:
+            merged = merged.persist()
+            merged.count()  # force the fuse NOW, overlapping the corpus
+        return clusters, kb_sources, merged
+
+    kb_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="kb-branch")
+    kb_future = kb_pool.submit(_kb_branch)
+    kb_pool.shutdown(wait=False)
     if corpus is None and checkpoint_dir is None:
         # synthetic corpus, no raw-corpus checkpoint requested: generate
         # the latest-version documents DIRECTLY (zero-shuffle; the
@@ -138,9 +178,12 @@ def run_pipeline(
     mentions = mentions_of(annotations)
     relations = relations_of(annotations)
 
-    clusters = _materialize(
-        build_clusters(seed["same_as"]), spark, checkpoint_dir, "clusters"
-    )
+    # join the seed-KB fuse branch (started at pipeline launch; see
+    # _kb_branch above — clusters were materialized/persisted there, the
+    # kb_sources shape is the delta-maintainer input contract, and the
+    # inverse-property fragments joined the fuse like any other source
+    # item fragment, reconciler.cc:97-273)
+    clusters, kb_sources, merged = kb_future.result()
 
     # canonicalize document triples (subjects/objects are already Q-ids
     # from the phrase table, but alt-id fall-through costs nothing and
@@ -149,23 +192,6 @@ def run_pipeline(
     doc_t = canonicalize(doc_t, clusters, "subj")
     doc_t = canonicalize(doc_t, clusters, "obj")
 
-    # raw (non-derived) source rows — also the input contract of the
-    # incremental delta maintainer (kg/delta.py), so deployments persist
-    # it alongside kb_items (tools/submit_pipeline.py writes sources/)
-    kb_sources = seed["items"].withColumn(
-        "source_priority", F.lit(0)
-    ).unionByName(seed["fragments"])
-    # inverse-property fragments keyed by target (reconciler.cc:97-273)
-    # join the fuse exactly like any other source item fragment
-    all_items = kb_sources.unionByName(
-        invert_statements(kb_sources), allowMissingColumns=True
-    )
-    merged = _materialize(
-        merge_items(reconcile_items(all_items, clusters)),
-        spark,
-        checkpoint_dir,
-        "kb_items",
-    )
     kb_t = kb_triples(merged)
 
     triples = _materialize(
