@@ -88,6 +88,18 @@ def cpu_control(cores: int, work: int = 40_000_000) -> float:
     return round(time.time() - t0, 2)
 
 
+def mem_bw_control() -> float:
+    """DRAM-bandwidth control (GB/s rw on a 200 MB copy). The ALU burn
+    control is blind to a co-tenant saturating memory bandwidth — the
+    window of scaling_run41 delivered 1.5 GB/s (vs healthy 10-20+)
+    while the burn was only 1.3x quiet, and the memory-heavy pipeline
+    ran 3-4x slower than run 39 under near-identical burn controls.
+    Recorded per leg so degraded-window runs are classifiable."""
+    from tools.window_sentinel import _mem_bw
+
+    return _mem_bw()
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -104,9 +116,11 @@ def main() -> None:
 
     legs = {low: [], high: []}
     controls = {low: [], high: []}
+    mem_controls = {low: [], high: []}
     for _ in range(alt):
         for cores in (low, high):
             controls[cores].append(cpu_control(cores))
+            mem_controls[cores].append(mem_bw_control())
             legs[cores].append(run_once(cores, n_files))
     lo = min(legs[low], key=lambda r: r["wall_sec"])
     hi = min(legs[high], key=lambda r: r["wall_sec"])
@@ -134,6 +148,7 @@ def main() -> None:
             str(c): [r["wall_sec"] for r in legs[c]] for c in (low, high)
         },
         "all_controls": {str(c): controls[c] for c in (low, high)},
+        "dram_copy_gbs": {str(c): mem_controls[c] for c in (low, high)},
     }
     # Every run self-archives under the next free scaling_runN.json;
     # BENCH/scaling.json (the HEADLINE) is promoted manually after

@@ -38,6 +38,30 @@ import time
 
 QUIET_BURN_S = 1.9  # 1-core _burn(40M) in every recorded quiet window
 
+# DRAM floor for a 'clean' verdict. Round-5 session 2026-08-19 found a
+# window where a 200 MB numpy copy ran at 1.5 GB/s (rw) while the SAME
+# buffer at 1 MB (cache-resident) copied at 56 GB/s and the ALU burn
+# was only 1.3x quiet — a co-tenant saturating DRAM bandwidth, which
+# the ALU-bound burn control cannot see. In that window the pipeline
+# ran 3-4x slower than run-39's legs under near-identical burn
+# controls (BENCH/scaling_run41.json analysis in BASELINE.md §2).
+# Provisional floor pending quiet-window calibration; the cache/DRAM
+# ratio is the window-independent tell (healthy ~3-6x, degraded 30x+).
+QUIET_DRAM_FLOOR_GBS = 6.0
+
+
+def _mem_bw(mb: int = 200, reps: int = 5) -> float:
+    """Copy a ``mb``-MB numpy buffer ``reps`` times; GB/s counting both
+    read+write traffic. At 200 MB this is DRAM-bound on any cache."""
+    import numpy as np
+
+    a = np.zeros(mb * 125_000)
+    a.copy()  # warm allocator/faults outside the timed window
+    t0 = time.time()
+    for _ in range(reps):
+        a.copy()
+    return round(reps * 2 * a.nbytes / 1e9 / (time.time() - t0), 2)
+
 
 def _burn(n: int = 40_000_000) -> int:
     x = 0
@@ -80,15 +104,22 @@ def vet(seconds: float = 45.0, cores: int = 4) -> dict:
     t0 = time.time()
     ones: list[float] = []
     many: list[float] = []
+    dram: list[float] = [_mem_bw()]
+    cache_gbs = _mem_bw(mb=1, reps=1000)
     while time.time() - t0 < seconds or not many:
         ones.append(_timed_burn())
         many.append(_parallel_burn(cores))
+    dram.append(_mem_bw())
     s1, t1j = _steal_jiffies()
     steal_pct = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2)
     best1, bestn = min(ones), min(many)
     delivery = round(best1 / bestn, 3)
+    dram_gbs = max(dram)
     clean = (
-        best1 <= QUIET_BURN_S * 1.35 and delivery >= 0.9 and steal_pct < 1.0
+        best1 <= QUIET_BURN_S * 1.35
+        and delivery >= 0.9
+        and steal_pct < 1.0
+        and dram_gbs >= QUIET_DRAM_FLOOR_GBS
     )
     out = {
         "mode": "vet",
@@ -100,7 +131,11 @@ def vet(seconds: float = 45.0, cores: int = 4) -> dict:
         "best_ncore_s": bestn,
         "delivery": delivery,
         "steal_pct": steal_pct,
+        "dram_copy_gbs": dram,
+        "cache_copy_gbs": cache_gbs,
+        "cache_dram_ratio": round(cache_gbs / max(dram_gbs, 0.01), 1),
         "quiet_baseline_s": QUIET_BURN_S,
+        "dram_floor_gbs": QUIET_DRAM_FLOOR_GBS,
         "verdict": "clean" if clean else "degraded",
     }
     print(json.dumps(out))
@@ -123,6 +158,7 @@ def probe(interval_s: float = 240.0, count: int = 0) -> None:
             "burn_1core_s": wall,
             "steal_pct": round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2),
             "runq": _runq(),
+            "dram_copy_gbs": _mem_bw(),
         }
         with open(path, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
