@@ -41,17 +41,39 @@ class Token:
     form: int
 
 
+_LIT_START: frozenset | None = None
+
+
+def _lit_start_words() -> frozenset:
+    """Lowercased words that can OPEN a literal mention span without a
+    leading digit: month names/abbreviations and spelled numbers. A
+    strict superset of the starts `_literal_candidates` can accept for
+    alpha tokens (month_of_word only narrows by capitalization), so the
+    per-token `lit0` flag below is a sound pre-filter."""
+    global _LIT_START
+    if _LIT_START is None:
+        from .dates import _ALL_MONTHS
+        from .numbers import SPELLED
+
+        _LIT_START = frozenset(_ALL_MONTHS) | frozenset(SPELLED)
+    return _LIT_START
+
+
 @lru_cache(maxsize=1 << 20)
-def word_attrs(word: str) -> tuple[int, int, bool, bool]:
-    """(fp, case form, has-alpha, is-lower) of one token — cached per
-    unique word: corpus vocabularies are tiny relative to token counts,
-    so inside a long-lived executor worker these per-word classifiers
-    run once per vocabulary entry, not once per token occurrence."""
+def word_attrs(word: str) -> tuple[int, int, bool, bool, bool]:
+    """(fp, case form, has-alpha, is-lower, literal-start) of one token
+    — cached per unique word: corpus vocabularies are tiny relative to
+    token counts, so inside a long-lived executor worker these per-word
+    classifiers run once per vocabulary entry, not once per token
+    occurrence. ``literal-start`` is True iff the token COULD open a
+    date/number/measure span (digit-led, month name, or spelled
+    number): the literal annotator visits only flagged tokens."""
     return (
         token_fp(word),
         case_form(word),
         any(c.isalpha() for c in word),
         word.islower(),
+        word[0].isdigit() or word.lower() in _lit_start_words(),
     )
 
 
@@ -81,7 +103,7 @@ def tokenize(content: str) -> list[Token]:
                 brk = BREAK_SENTENCE
             else:
                 brk = BREAK_PARAGRAPH
-        fp, form, _alpha, _lower = word_attrs(word)
+        fp, form = word_attrs(word)[:2]
         prev_end = m.end()
         append(Token(begin=begin, end=prev_end, word=word, brk=brk, fp=fp, form=form))
     return tokens
@@ -100,6 +122,7 @@ class TokenArrays(NamedTuple):
     forms: "np.ndarray"  # int8 case forms
     alpha: "np.ndarray"  # bool: token contains a letter
     lower: "np.ndarray"  # bool: word.islower()
+    lit0: "np.ndarray"  # bool: token can open a literal (date/number) span
 
 
 def tokenize_arrays(content: str) -> TokenArrays:
@@ -141,11 +164,12 @@ def tokenize_arrays(content: str) -> TokenArrays:
     n = len(words)
     if n == 0:
         z = np.zeros(0, dtype=np.int32)
+        zb = np.zeros(0, dtype=bool)
         return TokenArrays(
             words, z, z, np.zeros(0, np.int8), np.zeros(0, np.uint64),
-            np.zeros(0, np.int8), np.zeros(0, bool), np.zeros(0, bool),
+            np.zeros(0, np.int8), zb, zb, zb,
         )
-    fp_a, form_a, alpha_a, lower_a = zip(*map(word_attrs, words))
+    fp_a, form_a, alpha_a, lower_a, lit0_a = zip(*map(word_attrs, words))
     return TokenArrays(
         words=words,
         begins=np.array(begins, dtype=np.int32),
@@ -155,6 +179,7 @@ def tokenize_arrays(content: str) -> TokenArrays:
         forms=np.array(form_a, dtype=np.int8),
         alpha=np.array(alpha_a, dtype=bool),
         lower=np.array(lower_a, dtype=bool),
+        lit0=np.array(lit0_a, dtype=bool),
     )
 
 

@@ -280,7 +280,9 @@ def _py_cat(fp1: int, fp2: int) -> int:
     return fingerprint_cat(fp1, fp2)
 
 
-def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
+def _literal_candidates(
+    words: list[str], brks, lit0=None
+) -> list[tuple[int, int, str]]:
     """Date / number / measure span candidates (the DateAnnotator /
     NumberAnnotator / MeasureAnnotator chart contributions, reference
     sling/nlp/silver/mentions.h:256-391), over one token array:
@@ -304,10 +306,16 @@ def _literal_candidates(words: list[str], brks) -> list[tuple[int, int, str]]:
 
     All spans compete in the DP cover like phrase spans; values are the
     fact-object literal forms, so distant supervision can target them
-    (e.g. P6 release dates). Returns (begin, end, value) token spans."""
+    (e.g. P6 release dates). Returns (begin, end, value) token spans.
+
+    ``lit0`` (the tokenizer's per-word literal-start flags, a strict
+    superset of acceptable span starts) restricts the scan to flagged
+    tokens — the annotator only walks digit-led/month/spelled tokens
+    instead of every token."""
     out: list[tuple[int, int, str]] = []
     n = len(words)
-    for i in range(n):
+    starts = range(n) if lit0 is None else np.nonzero(lit0)[0].tolist()
+    for i in starts:
         lit = _lit_word(words[i])
         if lit is None:
             # month-led date forms: MONTH DD , YYYY | MONTH YYYY
@@ -619,8 +627,9 @@ def annotate_document(
         attrs = [word_attrs(w) for w in words]
         alpha = np.fromiter((a[2] for a in attrs), dtype=bool, count=n)
         lower = np.fromiter((a[3] for a in attrs), dtype=bool, count=n)
+        lit0 = np.fromiter((a[4] for a in attrs), dtype=bool, count=n)
     else:
-        alpha = lower = np.zeros(0, dtype=bool)
+        alpha = lower = lit0 = np.zeros(0, dtype=bool)
     sent_start = brks_a >= 2
     if n:
         sent_start = sent_start.copy()
@@ -629,7 +638,9 @@ def annotate_document(
     cb, ce, cfp, cform = _enumerate_candidates(
         fps_a, forms_a, alpha, lower, sent_start, npa, min_idf, max_span
     )
-    merged = _merge_candidates(cb, ce, cfp, cform, _literal_candidates(words, brks_a))
+    merged = _merge_candidates(
+        cb, ce, cfp, cform, _literal_candidates(words, brks_a, lit0)
+    )
     return _annotate_from_candidates(
         words, brks_a, fps_a, forms_a, merged, assets, npa
     )
@@ -896,7 +907,7 @@ def annotate(
                 lo, hi = doc_cuts[j], doc_cuts[j + 1]
                 merged = _merge_candidates(
                     cb[lo:hi] - off, ce[lo:hi] - off, cfp[lo:hi], cform[lo:hi],
-                    _literal_candidates(ta.words, ta.brks),
+                    _literal_candidates(ta.words, ta.brks, ta.lit0),
                 )
                 ms, rs = _annotate_from_candidates(
                     ta.words,

@@ -358,6 +358,25 @@ def test_tokenize_arrays_matches_tokenize(content):
     assert ta.forms.tolist() == [t.form for t in toks]
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.text(
+    alphabet="ab A9_ .\t()#=\n-May三 1984 three million km century s,",
+    max_size=160,
+))
+def test_literal_candidates_lit0_mask_parity(content):
+    """The tokenizer's per-word literal-start pre-filter (lit0) never
+    changes the literal annotator's output: scanning only flagged
+    tokens yields the same candidate spans as scanning every token
+    (lit0 is a strict superset of acceptable span starts)."""
+    from sling_spark.functions.tokenize import tokenize_arrays
+    from sling_spark.kg.mentions import _literal_candidates
+
+    ta = tokenize_arrays(content)
+    full = _literal_candidates(ta.words, ta.brks)
+    masked = _literal_candidates(ta.words, ta.brks, ta.lit0)
+    assert full == masked
+
+
 @st.composite
 def _triple_set(draw):
     ids = [f"Q{i}" for i in range(1, 8)] + ["cc:x1", "i/odd id", "Ab_c-d"]

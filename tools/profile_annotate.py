@@ -83,7 +83,7 @@ def main() -> None:
             lo, hi = doc_cuts[j], doc_cuts[j + 1]
             merged = M._merge_candidates(
                 cb[lo:hi] - off, ce[lo:hi] - off, cfp[lo:hi], cform[lo:hi],
-                M._literal_candidates(ta.words, ta.brks),
+                M._literal_candidates(ta.words, ta.brks, ta.lit0),
             )
             ms, rs = M._annotate_from_candidates(
                 ta.words, ta.brks, ta.fps, ta.forms, merged, assets, npa
