@@ -28,6 +28,19 @@ CASE_TITLE = 3
 # inside names: "J.F.K.", "O'Neill").
 _NAME_PUNCT = {".", "'", "’"}
 
+# Pronoun descriptors with grammatical gender (anaphora.cc:45-55 English
+# inventory; it/this are the code-corpus neuter triggers with UNKNOWN
+# gender — they agree with genderless markables, exactly the reference's
+# `m.gender == markable.gender` rule). Lives here (a per-word lexical
+# attribute) so the tokenizer's cached word_attrs can flag pronoun
+# tokens without importing the annotator layer.
+G_UNKNOWN, G_MASC, G_FEM = 0, 1, 2
+PRONOUN_GENDER = {
+    "it": G_UNKNOWN, "this": G_UNKNOWN,
+    "he": G_MASC, "his": G_MASC, "him": G_MASC,
+    "she": G_FEM, "her": G_FEM, "hers": G_FEM,
+}
+
 
 def normalize_phrase(text: str) -> str:
     """Apply "lcn" normalization: case-fold, strip diacritics, drop name

@@ -20,7 +20,7 @@ from functools import lru_cache
 from typing import NamedTuple
 
 from .fingerprint import token_fp
-from .normalize import case_form
+from .normalize import PRONOUN_GENDER, case_form
 
 # identifiers | numbers | any single non-space symbol char
 _TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?|[^\sA-Za-z0-9_]")
@@ -60,20 +60,23 @@ def _lit_start_words() -> frozenset:
 
 
 @lru_cache(maxsize=1 << 20)
-def word_attrs(word: str) -> tuple[int, int, bool, bool, bool]:
-    """(fp, case form, has-alpha, is-lower, literal-start) of one token
-    — cached per unique word: corpus vocabularies are tiny relative to
-    token counts, so inside a long-lived executor worker these per-word
-    classifiers run once per vocabulary entry, not once per token
-    occurrence. ``literal-start`` is True iff the token COULD open a
-    date/number/measure span (digit-led, month name, or spelled
-    number): the literal annotator visits only flagged tokens."""
+def word_attrs(word: str) -> tuple[int, int, bool, bool, bool, int]:
+    """(fp, case form, has-alpha, is-lower, literal-start, pronoun
+    gender) of one token — cached per unique word: corpus vocabularies
+    are tiny relative to token counts, so inside a long-lived executor
+    worker these per-word classifiers run once per vocabulary entry,
+    not once per token occurrence. ``literal-start`` is True iff the
+    token COULD open a date/number/measure span (digit-led, month name,
+    or spelled number): the literal annotator visits only flagged
+    tokens. ``pronoun gender`` is the PRONOUN_GENDER code or -1: the
+    anaphora stage visits only flagged positions."""
     return (
         token_fp(word),
         case_form(word),
         any(c.isalpha() for c in word),
         word.islower(),
         word[0].isdigit() or word.lower() in _lit_start_words(),
+        PRONOUN_GENDER.get(word.casefold(), -1),
     )
 
 
@@ -123,6 +126,7 @@ class TokenArrays(NamedTuple):
     alpha: "np.ndarray"  # bool: token contains a letter
     lower: "np.ndarray"  # bool: word.islower()
     lit0: "np.ndarray"  # bool: token can open a literal (date/number) span
+    pron: "np.ndarray"  # int8: pronoun gender code, -1 for non-pronouns
 
 
 def tokenize_arrays(content: str) -> TokenArrays:
@@ -167,9 +171,9 @@ def tokenize_arrays(content: str) -> TokenArrays:
         zb = np.zeros(0, dtype=bool)
         return TokenArrays(
             words, z, z, np.zeros(0, np.int8), np.zeros(0, np.uint64),
-            np.zeros(0, np.int8), zb, zb, zb,
+            np.zeros(0, np.int8), zb, zb, zb, np.zeros(0, np.int8),
         )
-    fp_a, form_a, alpha_a, lower_a, lit0_a = zip(*map(word_attrs, words))
+    fp_a, form_a, alpha_a, lower_a, lit0_a, pron_a = zip(*map(word_attrs, words))
     return TokenArrays(
         words=words,
         begins=np.array(begins, dtype=np.int32),
@@ -180,6 +184,7 @@ def tokenize_arrays(content: str) -> TokenArrays:
         alpha=np.array(alpha_a, dtype=bool),
         lower=np.array(lower_a, dtype=bool),
         lit0=np.array(lit0_a, dtype=bool),
+        pron=np.array(pron_a, dtype=np.int8),
     )
 
 

@@ -50,7 +50,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.fingerprint import FP_SKIPPED
-from ..functions.normalize import CASE_NONE
+from ..functions.normalize import (CASE_NONE, G_FEM, G_MASC, G_UNKNOWN,
+                                   PRONOUN_GENDER)
 from ..sources.kb import BLOCKED_PROPERTIES, PROPERTY_PRIORITY
 
 ANNOTATIONS_SCHEMA = (
@@ -80,16 +81,9 @@ DEFAULT_MIN_IDF = 1.2
 DEFAULT_MAX_SPAN = 5
 ANAPHORA_WINDOW = 3  # sentences an antecedent may be away (anaphora.cc)
 
-# pronoun descriptors with grammatical gender (anaphora.cc:45-55 English
-# inventory; it/this are the code-corpus neuter triggers with UNKNOWN
-# gender — they agree with genderless markables, exactly the reference's
-# `m.gender == markable.gender` rule)
-G_UNKNOWN, G_MASC, G_FEM = 0, 1, 2
-PRONOUN_GENDER = {
-    "it": G_UNKNOWN, "this": G_UNKNOWN,
-    "he": G_MASC, "his": G_MASC, "him": G_MASC,
-    "she": G_FEM, "her": G_FEM, "hers": G_FEM,
-}
+# pronoun descriptors with grammatical gender: see
+# functions/normalize.py (per-word lexical attribute, shared with the
+# tokenizer's cached word_attrs so pronoun positions come vectorized)
 PRONOUNS = set(PRONOUN_GENDER)
 
 
@@ -628,8 +622,10 @@ def annotate_document(
         alpha = np.fromiter((a[2] for a in attrs), dtype=bool, count=n)
         lower = np.fromiter((a[3] for a in attrs), dtype=bool, count=n)
         lit0 = np.fromiter((a[4] for a in attrs), dtype=bool, count=n)
+        pron = np.fromiter((a[5] for a in attrs), dtype=np.int8, count=n)
     else:
         alpha = lower = lit0 = np.zeros(0, dtype=bool)
+        pron = np.zeros(0, dtype=np.int8)
     sent_start = brks_a >= 2
     if n:
         sent_start = sent_start.copy()
@@ -642,7 +638,7 @@ def annotate_document(
         cb, ce, cfp, cform, _literal_candidates(words, brks_a, lit0)
     )
     return _annotate_from_candidates(
-        words, brks_a, fps_a, forms_a, merged, assets, npa
+        words, brks_a, fps_a, forms_a, merged, assets, npa, pron
     )
 
 
@@ -654,12 +650,18 @@ def _annotate_from_candidates(
     cands: tuple,
     assets: KbAssets,
     npa: _NpAssets,
+    pron: np.ndarray | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Stages 3-5 for ONE document given its pre-enumerated candidate
     spans (document-relative): DP cover per sentence, then the
     order-dependent resolver / anaphora / relation stages — sequential
     within the document by design (resolver context, SURVEY.md §4 risk
-    #4), over candidate spans only (no per-token work)."""
+    #4), over candidate spans only (no per-token work).
+
+    ``pron`` (the tokenizer's per-word pronoun gender codes, -1 for
+    non-pronouns) restricts the anaphora stage to flagged positions —
+    pronoun-free sentences skip stage 4b entirely; omitted, the stage
+    probes every token."""
     phrase_table = assets.phrase_table
     popularity = assets.popularity
     links = assets.links
@@ -675,6 +677,10 @@ def _annotate_from_candidates(
     abbrev_map: dict[str, int] = {}  # abbreviation word -> phrase fp (per doc)
 
     bounds = _sentence_bounds(brks)
+    # pronoun positions, document-level, consumed by a running pointer
+    # (sentences iterate in begin order); None = probe every token
+    pron_nz = np.nonzero(pron >= 0)[0].tolist() if pron is not None else None
+    pron_ptr = 0
     if cb.size:
         # one vectorized pass assigns candidates to sentences (cands are
         # sorted by begin and never cross a sentence boundary); plain
@@ -772,10 +778,20 @@ def _annotate_from_candidates(
         # entity's P21 fact (anaphora.cc:178-190); genderless entities are
         # UNKNOWN and agree with it/this. Anaphors then act as relation
         # SUBJECTS only (never as targets).
-        gender_of = assets.gender or {}
         anaphors: list[tuple[int, int, str]] = []
-        covered = {i for b, e, _ent in sent_mentions for i in range(b, e)}
-        for i in range(sb, se):
+        if pron_nz is not None:
+            # flagged pronoun positions inside this sentence only
+            positions = []
+            while pron_ptr < len(pron_nz) and pron_nz[pron_ptr] < se:
+                if pron_nz[pron_ptr] >= sb:
+                    positions.append(pron_nz[pron_ptr])
+                pron_ptr += 1
+        else:
+            positions = range(sb, se)
+        if positions:
+            gender_of = assets.gender or {}
+            covered = {i for b, e, _ent in sent_mentions for i in range(b, e)}
+        for i in positions:
             pgender = _pron_code(words[i])
             if pgender < 0 or i in covered:
                 continue
@@ -917,6 +933,7 @@ def annotate(
                     merged,
                     assets,
                     npa,
+                    ta.pron,
                 )
                 row_repo, row_path, row_commit, row_sha = meta[j]
                 n = len(ms) + len(rs)

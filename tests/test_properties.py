@@ -377,6 +377,19 @@ def test_literal_candidates_lit0_mask_parity(content):
     assert full == masked
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="He it she hERS THIS hymn. \n()", max_size=120))
+def test_tokenize_pron_codes_match_pron_code(content):
+    """The tokenizer's per-word pronoun gender column equals the
+    annotator's per-token classifier — the anaphora stage may visit
+    only flagged positions without changing semantics."""
+    from sling_spark.functions.tokenize import tokenize_arrays
+    from sling_spark.kg.mentions import _pron_code
+
+    ta = tokenize_arrays(content)
+    assert ta.pron.tolist() == [_pron_code(w) for w in ta.words]
+
+
 @st.composite
 def _triple_set(draw):
     ids = [f"Q{i}" for i in range(1, 8)] + ["cc:x1", "i/odd id", "Ab_c-d"]

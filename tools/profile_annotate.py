@@ -86,7 +86,8 @@ def main() -> None:
                 M._literal_candidates(ta.words, ta.brks, ta.lit0),
             )
             ms, rs = M._annotate_from_candidates(
-                ta.words, ta.brks, ta.fps, ta.forms, merged, assets, npa
+                ta.words, ta.brks, ta.fps, ta.forms, merged, assets, npa,
+                ta.pron,
             )
             n_m += len(ms)
             n_r += len(rs)
