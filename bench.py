@@ -42,6 +42,16 @@ def main() -> None:
     from sling_spark import contract
     from sling_spark.kg.pipeline import run_pipeline
     from sling_spark.session import get_spark
+    from tools.window_sentinel import (QUIET_BURN_S, QUIET_DRAM_FLOOR_GBS,
+                                       _mem_bw, _timed_burn)
+
+    # Host-window probe bracketing the run: the sandbox host is
+    # co-tenant and single bench samples have recorded >2x phantom
+    # swings on identical code (BENCH/BASELINE.md §2). A fixed-work
+    # 1-core burn (~1.9 s quiet) + a DRAM copy (≥6 GB/s quiet) before
+    # and after lets any reader normalize a sample for host state
+    # without access to the machine.
+    probe_pre = {"burn_s": _timed_burn(), "dram_gbs": _mem_bw()}
 
     spark = get_spark(
         master=f"local[{cpus}]",
@@ -145,6 +155,7 @@ def main() -> None:
     times["corpus_qc_dedup"] = qc_wall
 
     total = round(sum(times.values()), 3)
+    probe_post = {"burn_s": _timed_burn(), "dram_gbs": _mem_bw()}
     print(
         json.dumps(
             {
@@ -163,6 +174,12 @@ def main() -> None:
                 "corpus_qc_clustered": n_clustered,
                 "corpus_qc_docs_per_sec": round(n_files * 1.1 / qc_wall, 1),
                 "cpus": cpus,
+                "window_probe": {
+                    "pre": probe_pre,
+                    "post": probe_post,
+                    "quiet_burn_s": QUIET_BURN_S,
+                    "quiet_dram_floor_gbs": QUIET_DRAM_FLOOR_GBS,
+                },
             }
         )
     )
