@@ -692,7 +692,9 @@ def q_doc_contamination(spark, sf_dir):
 
 _SQL_CONTAMINATION = """
 WITH toklists AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> len(x) > 0) AS l
   FROM documents
 ),
 sh AS (

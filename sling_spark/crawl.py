@@ -36,6 +36,7 @@ reference's retry loop at wikimonitor.py:180-196).
 from __future__ import annotations
 
 import json
+import logging
 import re
 import threading
 import time
@@ -46,6 +47,8 @@ from typing import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .db import DBORDERED, RESULT_NAMES, RecordDatabase
+
+_LOG = logging.getLogger(__name__)
 
 MAX_ID = 999_999_999_999  # reference flag defaults (wikidaily.py:20-39)
 
@@ -215,6 +218,7 @@ class HTTPFetcher:
         import urllib.request
 
         url = f"{self.url}?id={qid}&revision={revision}&format=json"
+        last: Exception | None = None
         for _ in range(self.max_retries):
             req = urllib.request.Request(
                 url, headers={"User-Agent": self.user_agent}
@@ -224,12 +228,27 @@ class HTTPFetcher:
                     return r.read().decode("utf-8")
             except urllib.error.HTTPError as e:
                 if e.code == 404:
-                    return None
+                    return None  # the only true not-found
                 if e.code == 429:  # throttle down (wikimonitor.py:185)
+                    last = e
                     time.sleep(self.throttle_sleep)
                     continue
                 raise
-        return None
+            except urllib.error.URLError as e:
+                # transient transport failure (DNS, connection reset):
+                # retry with the same backoff instead of crashing the
+                # ingest loop mid-run
+                last = e
+                time.sleep(self.throttle_sleep)
+        # Exhausted retries on throttle/transport errors: raise rather
+        # than return None — None means "entity does not exist" to
+        # callers (counted not_found / skipped), and misfiling a
+        # transient outage as a deletion-equivalent would silently
+        # drop the item from the crawl.
+        raise RuntimeError(
+            f"fetch {qid}@{revision} failed after {self.max_retries} "
+            f"retries: {last}"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -431,8 +450,14 @@ def _write_checkpoint(path: str, ts: int) -> None:
     parent = p.rsplit("/", 1)[0]
     if parent:
         filesystem.create_dir(parent, recursive=True)
-    with filesystem.open_output_stream(p) as f:
+    # write-tmp-then-move (the RecordDatabase.flush discipline): an
+    # in-place truncate+write torn by a crash would leave an unreadable
+    # checkpoint, and a restart without ?since= permanently skips every
+    # change since the last good one
+    tmp = p + ".tmp"
+    with filesystem.open_output_stream(tmp) as f:
         f.write(str(ts).encode("utf-8"))
+    filesystem.move(tmp, p)
 
 
 def process_change(db: RecordDatabase, change: dict, fetcher, *,
@@ -490,7 +515,17 @@ def monitor_changes(db: RecordDatabase, changes: Iterable[dict], fetcher, *,
     lock = threading.Lock()
 
     def handle(change: dict, seq: int) -> None:
-        label = process_change(db, change, fetcher, lang=lang)
+        # The reference logs-and-skips per-change failures
+        # (wikimonitor.py:198-202). Containing the exception HERE is
+        # also what keeps the worker pool alive: an escaping error
+        # would kill the thread after task_done, and once every worker
+        # is dead the bounded queue.put / queue.join deadlock forever.
+        try:
+            label = process_change(db, change, fetcher, lang=lang)
+        except Exception as e:
+            _LOG.warning("process_change failed for %r: %s",
+                         change.get("title"), e)
+            label = "error"
         ts = change.get("timestamp")
         with lock:
             counts[label] = counts.get(label, 0) + 1

@@ -328,15 +328,19 @@ def load_dataframe(db: RecordDatabase, df, mode: int = DBORDERED,
     arrive via toLocalIterator so only one partition is resident at a
     time; the epoch advances once per mutated row, preserving SLINGDB's
     every-mutation-has-a-recid contract.  Returns result counts."""
-    counts = dict.fromkeys(RESULT_NAMES, 0)
+    counts = dict.fromkeys(RESULT_NAMES + ["deleted"], 0)
     cols = [key_col, value_col] + ([version_col] if version_col else [])
     for row in df.select(*cols).toLocalIterator():
-        version = int(row[version_col]) if version_col else 0
         value = row[value_col]
         if value is None or (isinstance(value, (bytes, str)) and
                              len(value) == 0):
+            # tombstones first: their version is meaningless and often
+            # NULL, which must not crash the int() below
             db.delete(row[key_col])
+            counts["deleted"] += 1
             continue
+        version = (int(row[version_col])
+                   if version_col and row[version_col] is not None else 0)
         _, result = db.put(row[key_col], value, version=version, mode=mode)
         counts[RESULT_NAMES[result]] += 1
     return counts

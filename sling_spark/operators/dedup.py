@@ -65,8 +65,16 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     Short docs (L < n) produce one gram of the available tokens —
     zip_with pads the shorter side with null and concat_ws skips
     nulls, matching the slice semantics exactly (verified bit-equal
-    via exceptAll in both directions)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    via exceptAll in both directions).
+
+    Empty tokens are dropped BEFORE windowing: Java split (limit -1)
+    keeps the empty strings that leading/trailing whitespace produces,
+    and an empty edge token would otherwise leak a separator into the
+    edge grams ('hello world\\n' ≠ 'hello world')."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
     ln = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.slice(toks, 1, ln)
     for k in range(1, n):
@@ -133,17 +141,31 @@ def lsh_candidate_pairs(
     bands × 8 rows over 128 hashes (threshold ≈ 0.71) keeps near-dup
     recall ≈ 1 while excluding the merely-similar mass that floods
     buckets under the loose default."""
+    # Guard: banding past the end of the signature would read NULLs
+    # (element_at out-of-range, ANSI off) and funnel every doc into one
+    # identical bucket — the exact O(n²) blowup max_bucket exists to
+    # prevent. Fail loudly at run time instead (plan-time length is
+    # unknowable: array length is not in the schema).
+    need = bands * rows_per_band
+    bands_arr = F.when(
+        F.size("sig") < need,
+        F.raise_error(
+            f"lsh_candidate_pairs: bands*rows_per_band = {need} exceeds "
+            "the minhash signature length — regenerate signatures with "
+            f"num_hashes >= {need}"
+        ).cast("array<bigint>"),
+    ).otherwise(
+        F.array(*[
+            F.xxhash64(F.concat_ws("|", *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ]))
+            for b in range(bands)
+        ])
+    )
     banded = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws("|", *[
-                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ]))
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
+        F.posexplode(bands_arr).alias("band", "bucket"),
     )
     if max_bucket is not None:
         # one extra groupBy on the same (band, bucket) shuffle key; the
@@ -191,7 +213,12 @@ def jaccard_pairs(
     any shingle whose corpus-wide document frequency exceeds
     ``max(stop_df_frac * n_docs, stop_min_df)`` is removed from the whole
     computation (sizes AND intersections — jaccard is over the filtered
-    shingle universe, the stop-word analog). The stop set is
+    shingle universe, the stop-word analog). In candidates mode a doc
+    whose shingles are ALL stop-filtered still gets a size row (sz 0)
+    and a candidate pair of two such docs scores J(∅,∅) := 1 — exact
+    boilerplate duplicates surface as dups instead of silently
+    vanishing from the verify stage. (Without ``candidates`` the pair
+    universe is shingle-driven, so all-stop docs cannot appear there.) The stop set is
     high-frequency by construction, hence bounded — at most
     avg_shingles_per_doc / stop_df_frac distinct shingles can exceed the
     frequency bar, independent of corpus size — so it is broadcast,
@@ -244,7 +271,15 @@ def jaccard_pairs(
             .distinct()
         )
         sh = sh.join(cand_docs, on="doc_id", how="left_semi")
-        sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+        # Size every candidate doc, INCLUDING docs whose shingles were
+        # all stop-filtered (sz 0): an exact boilerplate duplicate must
+        # not vanish from the verify stage just because its content is
+        # entirely hot. Over the filtered shingle universe both sets
+        # are empty — J(∅,∅) := 1 below, so such pairs surface as dups.
+        sizes = cand_docs.join(
+            sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz")),
+            on="doc_id", how="left",
+        ).fillna(0, subset=["sz"])
         pairs = (
             candidates.join(
                 sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a"
@@ -255,6 +290,13 @@ def jaccard_pairs(
             )
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").cast("long").alias("inter"))
+        )
+        # candidates with no shared shingles have no `pairs` row; keep
+        # them (inter 0) so the ∅,∅ case can be scored instead of
+        # silently dropped. sz>0 pairs with inter 0 score 0 and fall to
+        # the min_jaccard filter exactly as before.
+        pairs = candidates.join(pairs, on=["doc_a", "doc_b"], how="left").fillna(
+            0, subset=["inter"]
         )
     else:
         sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
@@ -273,8 +315,14 @@ def jaccard_pairs(
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            F.when(
+                F.col("sz_a") + F.col("sz_b") - F.col("inter") == 0, F.lit(1.0)
+            ).otherwise(
+                F.round(
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    6,
+                )
             ),
         )
         .filter(F.col("jaccard") >= min_jaccard)

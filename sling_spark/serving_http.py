@@ -122,7 +122,9 @@ class KnowledgeService:
             .select("id", "name")
             .collect()
         )
-        return {r["id"]: r["name"] for r in rows}
+        # drop NULL names so callers' names.get(id, id) fallback-to-id
+        # actually fires instead of surfacing text: null
+        return {r["id"]: r["name"] for r in rows if r["name"] is not None}
 
     # -- /kb/topic: rendered document view (topic endpoints) ------------
 

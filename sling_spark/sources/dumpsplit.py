@@ -147,7 +147,10 @@ def iter_xml_records(f, size: int, start: int, end: int, tag: str):
                 raise ValueError(
                     f"record at byte {o}: no closing </{tag}> before EOF"
                 )
-            # count intervening same-tag opens between p and c
+            # count intervening same-tag opens between p and c — but a
+            # nested self-closing <tag/> has no matching close, so
+            # counting it would desynchronize the depth counter and
+            # swallow the next record's close tag
             q = p
             while True:
                 oo = sc.find(open_pat, q)
@@ -155,7 +158,13 @@ def iter_xml_records(f, size: int, start: int, end: int, tag: str):
                     break
                 d = sc.slice(oo + len(open_pat), oo + len(open_pat) + 1)
                 if d in (bytes([b]) for b in _NAME_DELIMS):
-                    depth += 1
+                    g2 = sc.find(b">", oo)
+                    if g2 < 0:
+                        raise ValueError(
+                            f"unterminated nested start tag at byte {oo}"
+                        )
+                    if sc.slice(g2 - 1, g2) != b"/":
+                        depth += 1
                 q = oo + 1
             depth -= 1
             p = c + len(close_pat)
@@ -228,7 +237,14 @@ def read_xml_dump(spark, path: str, record_tag: str,
 # Turtle statement-block extraction
 # ---------------------------------------------------------------------------
 
-_DIRECTIVE_RE = re.compile(rb"^\s*(@prefix|@base|PREFIX|BASE)\b", re.I)
+# Directive-line detector, tokenizer-accurate: '@prefix'/'@base' in any
+# case (no legal statement starts with '@'), or the SPARQL form
+# case-insensitively — but only when followed by whitespace or '<'
+# (inter-token whitespace is optional in Turtle), so pname subjects
+# like 'prefix:s0' or 'base:x' are NOT directives. A case-insensitive
+# \b-only match would swallow those subject lines into the header.
+_DIRECTIVE_SRC = r"^\s*(@(?i:prefix|base)\b|(?i:prefix|base)(?=[\s<]))"
+_DIRECTIVE_RE = re.compile(_DIRECTIVE_SRC.encode("ascii"))
 # end-of-statement: a line whose content ends with '.' (optional
 # trailing whitespace/comment)
 _STMT_END_RE = re.compile(rb"\.[ \t\r]*(#[^\n]*)?\n")
@@ -317,7 +333,12 @@ def read_turtle_dump(spark, path: str, base_iri: str = "",
                     if lo >= hi:
                         continue
                     seg = sc.slice(lo, hi).decode("utf-8")
-                for m in re.finditer(r"(?m)^\s*(@prefix|@base|PREFIX|BASE)\b", seg):
+                # same detector as the header scan, case-insensitive
+                # like the parser itself (Turtle 1.1 SPARQL-form
+                # directives are case-insensitive — a mid-file
+                # 'prefix p: <...>' must raise, not silently rebind p:
+                # in one chunk only)
+                for m in re.finditer("(?m)" + _DIRECTIVE_SRC, seg):
                     raise ValueError(
                         f"directive past the header at byte {lo + m.start()}: "
                         "giant-dump Turtle splitting needs all directives in "

@@ -366,3 +366,104 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
     assert crawl.read_checkpoint(ckpt) == 2000
     # and the store holds both events — nothing was skipped
     assert db.get("Q1").version == 5 and db.get("Q2").version == 6
+
+
+def test_monitor_threaded_survives_fetcher_errors(tmp_path):
+    """A per-change failure must be logged-and-skipped (counted 'error',
+    wikimonitor.py:198-202), NOT kill the worker thread — dead workers
+    deadlock the bounded queue / queue.join() forever."""
+    d = tmp_path / "errfetches"
+    d.mkdir()
+    for rev in range(100, 120):
+        (d / f"Q1@{rev}.json").write_text(json.dumps(_entity("Q1", f"r{rev}")))
+
+    class FlakyFetcher:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def fetch(self, qid, revision):
+            if qid == "Q666":
+                raise RuntimeError("boom")
+            return self.inner.fetch(qid, revision)
+
+    fetcher = FlakyFetcher(crawl.DirectoryFetcher(str(d)))
+    changes = []
+    for i in range(20):
+        title = "Q666" if i % 3 == 0 else "Q1"
+        changes.append({"wiki": "wikidatawiki", "title": title,
+                        "type": "edit", "timestamp": 2000 + i, "comment": "",
+                        "revision": {"new": 100 + i}})
+    ckpt = str(tmp_path / "errs" / "ckpt")
+    counts = crawl.monitor_changes(
+        RecordDatabase(), changes, fetcher, threads=2,
+        checkpoint=ckpt, checkpoint_interval=4)
+    assert counts["error"] == 7
+    # the loop completed (no deadlock) and checkpointed through the end
+    assert crawl.read_checkpoint(ckpt) == 2019
+
+
+def test_checkpoint_write_is_atomic(tmp_path):
+    """Tmp-write+move: a crash mid-write (torn/partial tmp file) must
+    leave the previous checkpoint readable, or restart loses every
+    change since it."""
+    import os
+
+    ckpt = str(tmp_path / "ck" / "ts")
+    crawl._write_checkpoint(ckpt, 111)
+    assert crawl.read_checkpoint(ckpt) == 111
+    assert not os.path.exists(ckpt + ".tmp")  # published, not left over
+
+    # simulate a crash after the tmp write started but before the move:
+    # the published checkpoint must be untouched and a later write must
+    # recover (overwrite the stray tmp and publish)
+    with open(ckpt + ".tmp", "w") as f:
+        f.write("2")  # torn partial write
+    assert crawl.read_checkpoint(ckpt) == 111
+    crawl._write_checkpoint(ckpt, 333)
+    assert crawl.read_checkpoint(ckpt) == 333
+    assert not os.path.exists(ckpt + ".tmp")
+
+
+def test_http_fetcher_retries_and_raises(monkeypatch):
+    """429-exhaustion and transport failures must raise, not return the
+    None that callers file as not_found (deletion-equivalent); URLError
+    is retried like 429."""
+    import urllib.error
+    import urllib.request
+
+    calls = {"n": 0}
+
+    def flaky_urlopen(req, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise urllib.error.URLError("connection reset")
+
+        class R:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+            def read(self):
+                return b'{"entities": {}}'
+
+        return R()
+
+    monkeypatch.setattr(urllib.request, "urlopen", flaky_urlopen)
+    f = crawl.HTTPFetcher(throttle_sleep=0.0, max_retries=5)
+    assert f.fetch("Q1", 7) == '{"entities": {}}'
+    assert calls["n"] == 3  # two URLError retries, then success
+
+    def always_throttled(req, *a, **kw):
+        raise urllib.error.HTTPError(req.full_url, 429, "slow down", {}, None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", always_throttled)
+    with pytest.raises(RuntimeError, match="failed after"):
+        f.fetch("Q2", 8)
+
+    def gone(req, *a, **kw):
+        raise urllib.error.HTTPError(req.full_url, 404, "gone", {}, None)
+
+    monkeypatch.setattr(urllib.request, "urlopen", gone)
+    assert f.fetch("Q3", 9) is None  # 404 stays the only true not-found

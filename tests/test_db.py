@@ -344,3 +344,22 @@ def test_head_has_size_without_body(http_db):
     st, body, hdrs = _req(f"{base}/db/test/big", "HEAD")
     assert st == 200 and body == b""
     assert hdrs["Content-Length"] == "4096" and hdrs["Version"] == "7"
+
+
+def test_bulk_load_null_version_tombstone(spark):
+    """A delta tombstone row (value NULL, version NULL — the natural
+    shape, whose version is meaningless) must delete, not crash on
+    int(None); deletions are counted."""
+    db = RecordDatabase()
+    df = spark.createDataFrame(
+        [("q1", b"frame1", 2), ("q2", b"frame2", 1)],
+        "key string, value binary, version long")
+    load_dataframe(db, df, mode=DBORDERED)
+    delta = spark.createDataFrame(
+        [("q1", None, None), ("q3", b"frame3", None)],
+        "key string, value binary, version long")
+    counts = load_dataframe(db, delta, mode=DBORDERED)
+    assert counts["deleted"] == 1 and counts["new"] == 1
+    assert db.get("q1") is None
+    assert db.get("q3").version == 0  # NULL version on a live row -> 0
+    assert db.get("q2").version == 1  # untouched

@@ -170,3 +170,53 @@ def test_next_boundary_refill_invariant(tmp_path):
             assert boundary(3, io_bytes, base) == first, (io_bytes, base)
         assert boundary(first, io_bytes, first) == second
         assert boundary(0, io_bytes, 0) == first
+
+
+def test_xml_nested_self_closing_same_tag(tmp_path):
+    """A nested self-closing <tag/> has no matching close; counting it
+    as a depth increment desynchronizes the nesting counter and
+    swallows the following record's close tag (or errors at EOF)."""
+    from pyarrow import fs as pafs
+
+    from sling_spark.sources.dumpsplit import iter_xml_records
+
+    fs = pafs.LocalFileSystem()
+
+    def run(data: bytes, tag: str):
+        p = tmp_path / f"nested_{tag}.xml"
+        p.write_bytes(data)
+        with fs.open_input_file(str(p)) as f:
+            return [r for _, r in iter_xml_records(f, len(data), 0,
+                                                   len(data), tag)]
+
+    assert run(b"<item><item/></item><item>x</item>", "item") == [
+        "<item><item/></item>", "<item>x</item>"]
+    assert run(b'<page><page a="1"/><page>q</page></page><page>z</page>',
+               "page") == [
+        '<page><page a="1"/><page>q</page></page>', "<page>z</page>"]
+
+
+def test_turtle_dump_rejects_case_variant_midfile_directive(spark, tmp_path):
+    """Turtle 1.1 SPARQL-form directives are case-insensitive; a
+    mid-file 'prefix p: <...>' (lowercase) must raise like '@prefix'
+    does — silently rebinding p: in one chunk corrupts IRIs."""
+    import pytest as _pytest
+
+    from sling_spark.sources.dumpsplit import read_turtle_dump
+
+    body = "@prefix p: <http://a/> .\n"
+    body += "".join(f"p:s{i} p:q p:o{i} .\n" for i in range(400))
+    body += "prefix p: <http://b/>\np:x p:q p:y .\n"
+    body += "".join(f"p:t{i} p:q p:u{i} .\n" for i in range(400))
+    path = tmp_path / "midfile.ttl"
+    path.write_text(body)
+    with _pytest.raises(Exception, match="directive past the header"):
+        read_turtle_dump(spark, str(path), chunk_bytes=2048).collect()
+
+    # pname subjects that merely START with the keyword are not
+    # directives and must parse
+    ok = "@prefix prefix: <http://a/> .\n@prefix base: <http://c/> .\n"
+    ok += "".join(f"prefix:s{i} prefix:q base:o{i} .\n" for i in range(400))
+    p2 = tmp_path / "pnames.ttl"
+    p2.write_text(ok)
+    assert read_turtle_dump(spark, str(p2), chunk_bytes=1024).count() == 400

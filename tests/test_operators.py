@@ -731,3 +731,68 @@ def test_pii_scrub_hand_checked(spark):
     assert r["n_ipv4"] == 1 and r["n_idnum"] == 1 and r["n_redactions"] == 4
     assert r["clean_text"] == "mail <EMAIL> and <URL> then <IP> id <NUM>"
     assert got[2]["n_redactions"] == 0 and got[2]["clean_text"] == "clean text only"
+
+
+def test_shingles_ignore_edge_whitespace(spark):
+    """Java split (limit -1) keeps empty edge tokens; shingles() must
+    drop them or a trailing newline perturbs the gram set ('hello
+    world ' vs 'hello world') and depresses jaccard for texts equal up
+    to whitespace padding."""
+    from sling_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "hello world extra pad"), (2, "hello world extra pad\n"),
+         (3, "  hello world extra pad"), (4, "\thello world extra pad \n")],
+        "doc_id int, text string",
+    )
+    rows = shingles(docs, "doc_id", "text", 3).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert per_doc[1] == per_doc[2] == per_doc[3] == per_doc[4]
+
+
+def test_lsh_rejects_short_signature(spark):
+    """bands*rows_per_band beyond the signature length must fail loudly:
+    out-of-range element_at silently yields identical NULL buckets and
+    the self-join goes O(n^2)."""
+    import pytest as _pytest
+
+    from sling_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures, shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with a few more words") for i in range(6)],
+        "doc_id int, text string",
+    )
+    sig = minhash_signatures(shingles(docs, "doc_id", "text", 3), num_hashes=8)
+    with _pytest.raises(Exception, match="signature length"):
+        lsh_candidate_pairs(sig, bands=16, rows_per_band=8).collect()
+    # in-range banding still works
+    lsh_candidate_pairs(sig, bands=4, rows_per_band=2).collect()
+
+
+def test_jaccard_all_stop_docs_still_pair(spark):
+    """A candidate pair of two docs whose every shingle is stop-filtered
+    (pure boilerplate duplicates) must surface with J(empty,empty)=1,
+    not silently vanish from the verify stage."""
+    from sling_spark.operators.dedup import jaccard_pairs, shingles
+
+    boiler = "the same license header line repeated here"
+    rows = [(i, boiler) for i in range(1, 9)] + [
+        (100, "unique text alpha beta gamma delta"),
+        (101, "unique text alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = shingles(docs, "doc_id", "text", 3)
+    cands = spark.createDataFrame([(1, 2), (100, 101)], "doc_a int, doc_b int")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            sh, candidates=cands, min_jaccard=0.8,
+            stop_df_frac=0.5, stop_min_df=2,
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0       # all-stop pair kept, not dropped
+    assert out[(100, 101)] == 1.0   # normal exact dup unaffected

@@ -9,6 +9,7 @@ import threading
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from sling_spark import serving
 from sling_spark.kg.aggregates import search_index
@@ -134,3 +135,30 @@ def test_kb_topic_document_view(kb_server):
     assert "[" in out["content"] and "|Q" in out["content"]
     st, _ = _get(f"{base}/kb/topic?repo=none&path=none")
     assert st == 404
+
+
+def test_names_null_name_falls_back_to_id(kb_server):
+    """An item with a NULL name must surface as its id in search /
+    stubs, never as text: null — _names drops NULL rows so callers'
+    names.get(id, id) fallback fires."""
+    spark, base, _ = kb_server
+    from sling_spark.serving_http import KnowledgeService
+
+    original = spark.table("kb_items")
+    with_null = original.unionByName(
+        spark.createDataFrame(
+            [("Q999999", None)], "id string, name string"
+        ).withColumns(
+            {c: F.lit(None).cast(original.schema[c].dataType)
+             for c in original.columns if c not in ("id", "name")}
+        ).select(original.columns),
+        allowMissingColumns=False,
+    )
+    with_null.createOrReplaceTempView("kb_items")
+    try:
+        svc = KnowledgeService(spark)
+        names = svc._names(["Q999999"])
+        assert "Q999999" not in names  # NULL name dropped -> fallback
+        assert svc.stubs(["Q999999"])["stubs"] == {}
+    finally:
+        original.createOrReplaceTempView("kb_items")
