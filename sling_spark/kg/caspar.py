@@ -866,11 +866,22 @@ def fixture_gold(n_files: int = 40) -> tuple:
 def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
     """Content-hash cache key for a trained model: the gold training
     data (keys, tokens, actions, inventory) + hyperparameters + the
-    BYTECODE of every function in the training math.  Any change to the
-    gold generator, the optimizer, the encoder forward/adjoint or the
-    class remapping changes the tag, so a stale cached artifact can
-    never be loaded — it is simply a different filename and training
-    reruns.
+    BYTECODE CLOSURE of the training math.  Any change to the gold
+    generator, the optimizer, the encoder forward/adjoint or the class
+    remapping changes the tag, so a stale cached artifact can never be
+    loaded — it is simply a different filename and training reruns.
+
+    The closure is walked TRANSITIVELY: starting from the training
+    roots, every sling_spark function or class a hashed function
+    references by global name is hashed too (and so on), and plain
+    module-level constants it reads (TOK_DIM, scale factors, pattern
+    strings, ...) enter the hash by value.  A fixed root list alone
+    would miss e.g. lexical._hash_embed or the shape tables — the
+    encode base the learned deltas sit on — and a change there would
+    silently load weights trained under different math.  Function-LOCAL
+    imports are invisible to the globals walk, so those dependencies
+    (mentions._literal_candidates, biaffine._rng) are listed as roots
+    explicitly.
 
     Code objects are hashed RECURSIVELY and address-free: a nested
     listcomp/genexpr lands in the enclosing function's co_consts as a
@@ -879,8 +890,11 @@ def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
     the cache would never hit (asserted stable cross-process in
     tests/test_caspar.py)."""
     import hashlib
+    import inspect
 
     from . import lexical
+    from .biaffine import _rng
+    from .mentions import _literal_candidates
 
     def _hash_code(code, h):
         h.update(code.co_code)
@@ -894,8 +908,56 @@ def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
             else:
                 h.update(repr(c).encode())
 
+    seen: set = set()
+
+    def _hash_closure(obj, h):
+        obj = getattr(obj, "__wrapped__", obj)  # unwrap lru_cache
+        if inspect.isclass(obj):
+            # methods called via self are attribute lookups, invisible
+            # to the globals walk — hash the whole method table
+            for name, m in sorted(vars(obj).items()):
+                if isinstance(m, (staticmethod, classmethod)):
+                    m = m.__func__
+                if inspect.isfunction(m):
+                    _hash_closure(m, h)
+            return
+        if not inspect.isfunction(obj):
+            return
+        code = obj.__code__
+        key = (code.co_filename, code.co_firstlineno, code.co_name)
+        if key in seen:
+            return
+        seen.add(key)
+        _hash_code(code, h)
+        # every name this function (or a nested comprehension) reads
+        names = set(code.co_names)
+        stack = [code]
+        while stack:
+            for cc in stack.pop().co_consts:
+                if hasattr(cc, "co_code"):
+                    names.update(cc.co_names)
+                    stack.append(cc)
+        g = obj.__globals__
+        for name in sorted(names):
+            if name not in g:
+                continue  # attribute / builtin / local-import name
+            v = g[name]
+            mod = getattr(v, "__module__", None) or ""
+            if (inspect.isfunction(v) or inspect.isclass(v)) and mod.startswith(
+                "sling_spark"
+            ):
+                _hash_closure(v, h)
+            elif isinstance(v, (bool, int, float, str, bytes, tuple, frozenset)):
+                if isinstance(v, frozenset):
+                    h.update(repr((name, sorted(map(repr, v)))).encode())
+                else:
+                    h.update(repr((name, v)).encode())
+            elif isinstance(v, np.ndarray):
+                h.update(name.encode())
+                h.update(np.ascontiguousarray(v).tobytes())
+
     h = hashlib.sha256()
-    h.update(repr(("caspar-train-v1", scheme, n_files, epochs)).encode())
+    h.update(repr(("caspar-train-v2", scheme, n_files, epochs)).encode())
     docs, inventory = fixture_gold(n_files)
     for d in docs:
         h.update(repr(d["key"]).encode())
@@ -904,14 +966,13 @@ def _train_spec_tag(scheme: str, n_files: int, epochs: int) -> str:
         h.update(np.ascontiguousarray(d["brks"]).tobytes())
         h.update(repr(d["actions"]).encode())
     h.update(repr(inventory).encode())
-    for fn in (
-        CasparModel.fit, CasparModel._gold_class, CasparModel._rebuild_groups,
-        _Delegate.step, _Delegate.logits, _TrainedEncoder.raw,
-        _TrainedEncoder.apply_gradient, _TrainedEncoder.init_training,
-        _SegmentSum.__call__, lexical.raw_encode, lexical._context_mix,
-        lexical._context_mix_adjoint, lexical.shape_features, _parse_span,
+    for root in (
+        CasparModel, _State, _Delegate, _TrainedEncoder, _SegmentSum,
+        lexical.raw_encode, lexical._context_mix, lexical._context_mix_adjoint,
+        lexical.shape_features, _parse_span,
+        _literal_candidates, _rng,  # function-local imports of the above
     ):
-        _hash_code(getattr(fn, "__wrapped__", fn).__code__, h)  # unwrap lru_cache
+        _hash_closure(root, h)
     return h.hexdigest()[:16]
 
 

@@ -261,9 +261,27 @@ def _write_pointer(spark: SparkSession, state_dir: str, version: int) -> None:
         out.write(bytearray(str(version).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(ptr):
-        fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    # Hadoop FileSystem.delete/rename report failure by RETURNING
+    # FALSE, not raising. A silently-failed update would leave a stale
+    # pointer that _current_version trusts unconditionally — the next
+    # batch would then rebuild from version N-1 and overwrite committed
+    # batch N. So: verify each step, retry once, and as a last resort
+    # clear the pointer entirely (a MISSING pointer is safe — the
+    # committed-version _SUCCESS scan takes over); only raise when even
+    # that fails.
+    ok = fs.delete(ptr, False) if fs.exists(ptr) else True
+    if not (ok and fs.rename(tmp, ptr)):
+        cleared = fs.delete(ptr, False) if fs.exists(ptr) else True
+        if not (cleared and fs.rename(tmp, ptr)):
+            fs.delete(tmp, False)
+            if fs.exists(ptr):
+                raise IOError(
+                    f"could not update or clear KB state pointer "
+                    f"{state_dir}/_current — a stale pointer would "
+                    "roll back committed state"
+                )
+            # pointer cleared but rename refused: fallback scan will
+            # still resolve the newest committed version
 
 
 def _max_committed_version(spark: SparkSession, state_dir: str) -> int:
@@ -297,6 +315,7 @@ def stream_kb_deltas(
     state_dir: str,
     clusters: DataFrame,
     checkpoint: str,
+    keep_versions: int | None = None,
 ) -> None:
     """Structured-Streaming KB maintenance: delta-batch parquet drops
     under ``delta_path`` are applied onto a versioned KB state via
@@ -315,10 +334,20 @@ def stream_kb_deltas(
     Blocks until all currently-available drops are applied
     (availableNow trigger). All state I/O (pointer included) goes
     through the Hadoop FS API, so ``state_dir`` may be any Hadoop-
-    resolvable URI (``s3://``, ``hdfs://``, a plain local path, …)."""
+    resolvable URI (``s3://``, ``hdfs://``, a plain local path, …).
+
+    Every version is a FULL copy of sources + kb_items, so storage is
+    O(KB × epochs) while compute stays O(delta): ``keep_versions=R``
+    prunes versions older than the newest R after each pointer flip
+    (R >= 2 keeps the previous version as the crash-replay base and a
+    one-step rollback). The default None keeps everything — the
+    unbounded rollback chain — which on a month of daily drops costs
+    ~30 KB-copies; long-running deployments should set it."""
     from .assets import ITEMS_DDL
 
     root = state_dir.rstrip("/")
+    if keep_versions is not None and keep_versions < 2:
+        raise ValueError("keep_versions must be >= 2 (current + replay base)")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         ver = _current_version(spark, root)
@@ -330,6 +359,8 @@ def stream_kb_deltas(
         res["sources"].write.mode("overwrite").parquet(nxt + "/sources")
         res["kb_items"].write.mode("overwrite").parquet(nxt + "/kb_items")
         _write_pointer(spark, root, ver + 1)
+        if keep_versions is not None:
+            _prune_versions(spark, root, ver + 1, keep_versions)
 
     stream = spark.readStream.schema(
         ITEMS_DDL + ", source_priority int, deleted boolean"
@@ -341,6 +372,25 @@ def stream_kb_deltas(
         .start()
     )
     q.awaitTermination()
+
+
+def _prune_versions(spark: SparkSession, state_dir: str,
+                    current: int, keep: int) -> None:
+    """Delete ``v<k>`` state directories older than the newest ``keep``
+    versions. Only versions STRICTLY BELOW the pointer are candidates
+    (the current version and anything newer are never touched), so a
+    failed prune cannot damage live state — deletion failures are
+    ignored and retried on the next batch."""
+    import re as _re
+
+    fs, base, jvm = _hadoop_fs(spark, state_dir)
+    if not fs.exists(base):
+        return
+    cutoff = current - keep + 1
+    for st in fs.listStatus(base):
+        m = _re.fullmatch(r"v(\d+)", st.getPath().getName())
+        if m and int(m.group(1)) < cutoff:
+            fs.delete(st.getPath(), True)
 
 
 def init_kb_state(

@@ -105,28 +105,48 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else []
 
 
-def parse_item(obj: dict, lang: str = "en") -> tuple[dict, list[dict]] | None:
+def parse_item(obj: dict, lang: str = "en",
+               with_claims: bool = True) -> tuple[dict, list[dict]] | None:
     """One wikibase JSON item → (item row, alias rows). Total over
     arbitrarily malformed JSON (dirty-dump tolerance): any field of the
-    wrong shape is treated as absent, never raised on."""
+    wrong shape is treated as absent, never raised on.
+
+    ``with_claims=False`` skips the claims walk (statements/types stay
+    empty) — the alias-only extraction path, where parsing every
+    statement of every item would double the dump-import cost for rows
+    that only need labels/aliases."""
     if not isinstance(obj, dict):
         return None
     qid = obj.get("id")
     if not qid or not isinstance(qid, str):
         return None
     labels = _as_dict(obj.get("labels"))
-    label = labels.get(lang) or next(iter(labels.values()), None)
+    # label fallback: prefer the requested language, else the first
+    # well-formed label of ANY language — but then tag the alias row
+    # with the label's ACTUAL language, so a foreign-script fallback
+    # (the multi-language ingest case) never masquerades as a
+    # requested-language alias in the phrase-table priors
+    label_lang = lang
+    label = labels.get(lang)
     name = label.get("value") if isinstance(label, dict) else None
     if not isinstance(name, str):
         name = None
+        for k, v in labels.items():
+            cand = v.get("value") if isinstance(v, dict) else None
+            if isinstance(cand, str):
+                name, label_lang = cand, k
+                break
 
     aliases = [
-        {"entity": qid, "alias": name, "lang": lang, "is_label": True}
+        {"entity": qid, "alias": name, "lang": label_lang, "is_label": True}
     ] if name else []
     for al in _as_list(_as_dict(obj.get("aliases")).get(lang)):
         v = al.get("value") if isinstance(al, dict) else None
         if isinstance(v, str) and v:
             aliases.append({"entity": qid, "alias": v, "lang": lang, "is_label": False})
+
+    if not with_claims:
+        return {"id": qid, "name": name, "types": [], "statements": []}, aliases
 
     statements = []
     types = []
@@ -155,7 +175,11 @@ def parse_item(obj: dict, lang: str = "en") -> tuple[dict, list[dict]] | None:
             elif rank == "preferred":
                 quals["rank"] = "preferred"
             statements.append({"pid": pid, "object": obj_val, "qualifiers": quals})
-            if pid == "P31":
+            # a deprecated-rank P31 must not type the item: the
+            # statement itself is dropped at merge (merge_items), and a
+            # page typed only by a deprecated "disambiguation" claim
+            # would otherwise be misclassified out of wikipedia_mapping
+            if pid == "P31" and rank != "deprecated":
                 types.append(obj_val)
     item = {"id": qid, "name": name, "types": types, "statements": statements}
     return item, aliases
@@ -163,8 +187,16 @@ def parse_item(obj: dict, lang: str = "en") -> tuple[dict, list[dict]] | None:
 
 def wikidata_items(dump, lang: str = "en", json_col: str = "value"):
     """JSONL dump DataFrame → (items DF in ITEMS_DDL shape, alias rows
-    DF). One Arrow pass; malformed lines are dropped (dirty-dump
-    tolerance), counted implicitly by items vs input rows."""
+    DF). Malformed lines are dropped (dirty-dump tolerance), counted
+    implicitly by items vs input rows.
+
+    Each returned DataFrame scans the dump lazily in its own Arrow
+    pass, but the alias pass runs parse_item WITHOUT the claims walk
+    (with_claims=False) — claims dominate item JSON, so the alias leg
+    costs a small fraction of the item leg rather than doubling the
+    import. Callers materializing both at real dump scale should write
+    (or persist) the dump DataFrame once upstream, as the pipeline's
+    staged ingest does."""
     import pandas as pd
 
     def parse(batches):
@@ -190,7 +222,7 @@ def wikidata_items(dump, lang: str = "en", json_col: str = "value"):
                     obj = json.loads(line)
                 except (TypeError, ValueError):
                     continue
-                parsed = parse_item(obj, lang)
+                parsed = parse_item(obj, lang, with_claims=False)
                 if parsed:
                     rows.extend(parsed[1])
             yield pd.DataFrame(
@@ -217,9 +249,24 @@ WIKIMEDIA_TEMPLATE = {"Q11266439"}
 WIKIMEDIA_INFOBOX = {"Q19887878"}
 
 
+#: Wikimedia site ids that END in 'wiki' but are NOT a language
+#: Wikipedia — 'commonswiki' is Commons, not a 'commons' language.
+#: Without this exclusion their gallery/category/meta pages would
+#: enter the sitelink table as pseudo-language Wikipedia articles.
+_NON_LANGUAGE_WIKIS = frozenset({
+    "commonswiki", "specieswiki", "metawiki", "wikidatawiki",
+    "mediawikiwiki", "sourceswiki", "incubatorwiki", "outreachwiki",
+    "wikimaniawiki", "foundationwiki", "nostalgiawiki", "testwiki",
+    "test2wiki", "testwikidatawiki", "wikifunctionswiki", "votewiki",
+    "strategywiki", "fdcwiki",
+})
+
+
 def parse_sitelinks(obj: dict) -> list[dict]:
     """Wikibase ``sitelinks`` → (qid, lang, title) rows; only the
-    ``{lang}wiki`` sites (Wikipedia proper) map, matching Wiki::Id."""
+    ``{lang}wiki`` sites (Wikipedia proper) map, matching Wiki::Id —
+    non-language '*wiki' site ids (Commons, Meta, Wikidata itself, ...)
+    are excluded."""
     if not isinstance(obj, dict):
         return []
     qid = obj.get("id")
@@ -227,7 +274,8 @@ def parse_sitelinks(obj: dict) -> list[dict]:
         return []
     out = []
     for site, link in _as_dict(obj.get("sitelinks")).items():
-        if not isinstance(site, str) or not site.endswith("wiki"):
+        if (not isinstance(site, str) or not site.endswith("wiki")
+                or site in _NON_LANGUAGE_WIKIS):
             continue
         lang = site[: -len("wiki")]
         title = link.get("title") if isinstance(link, dict) else None

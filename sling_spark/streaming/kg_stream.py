@@ -8,11 +8,17 @@ parquet drops; each micro-batch runs the SAME annotation UDF (the
 pipeline's fused mention+relation pass) and appends new triples —
 exactly-once via checkpointed file-source offsets + idempotent sinks.
 
-Latest-commit semantics in a stream: replays/duplicates are dropped with
-``dropDuplicates`` on (repo, path, commit) — last-writer-wins across
-versions is a compaction concern (run `documents.latest_versions` on the
-materialized table, or MERGE in an Iceberg deployment; see
-operators/upsert.py for the batch emulation).
+Latest-commit semantics in a stream: replays/duplicates are dropped
+with ``dropDuplicatesWithinWatermark`` on (repo, path, commit) over a
+processing-time watermark — an UNWATERMARKED dropDuplicates would pin
+every key ever seen in the state store forever (state grows with total
+corpus size, not with in-flight data), which is unbounded on exactly
+the long-running streams this module targets. Cross-batch dedup beyond
+the horizon buys nothing anyway: the file source's checkpointed
+offsets already guarantee committed batches never replay, and
+last-writer-wins across versions is a compaction concern (run
+`documents.latest_versions` on the materialized table, or MERGE in an
+Iceberg deployment; see operators/upsert.py for the batch emulation).
 """
 
 from __future__ import annotations
@@ -35,12 +41,24 @@ def read_corpus_stream(
     return reader.parquet(path)
 
 
-def annotate_stream(corpus_stream: DataFrame, assets_bc) -> DataFrame:
+def annotate_stream(
+    corpus_stream: DataFrame, assets_bc, dedup_horizon: str = "24 hours"
+) -> DataFrame:
     """Streaming corpus → streaming annotation rows. mapInPandas is a
     stateless narrow transform, so it composes with streaming unchanged —
-    the same code path as the batch pipeline (tested for parity)."""
-    docs = corpus_stream.dropDuplicates(["repo", "path", "commit"]).withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
+    the same code path as the batch pipeline (tested for parity).
+
+    Duplicate (repo, path, commit) rows arriving within
+    ``dedup_horizon`` of each other are dropped with BOUNDED state
+    (processing-time watermark); a duplicate arriving later than the
+    horizon re-annotates and is absorbed by downstream compaction
+    (module docstring)."""
+    docs = (
+        corpus_stream.withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["repo", "path", "commit"])
+        .drop("_ingest_ts")
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
     )
     return annotate(docs, assets_bc)
 

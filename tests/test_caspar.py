@@ -352,3 +352,36 @@ def test_model_save_load_uri_symmetry(gold, tmp_path):
     lm = load_model(uri)
     assert np.array_equal(lm.main.w1, m.main.w1)
     assert lm.groups == m.groups
+
+
+def test_train_spec_tag_sees_transitive_deps(monkeypatch):
+    """The artifact-cache tag must change when TRANSITIVE training-math
+    dependencies change — lexical._hash_embed (the encode base the
+    learned deltas sit on) and mentions._literal_candidates (a
+    function-local import) are reached by the closure walk even though
+    neither appears in the fixed root list by name."""
+    from sling_spark.kg import lexical, mentions
+    from sling_spark.kg.caspar import _train_spec_tag
+
+    base = _train_spec_tag("caspar", 40, 300)
+
+    real = lexical._hash_embed
+
+    def other_hash_embed(ids, dim, salt):
+        return real(ids, dim, salt + 1)  # different bytecode
+
+    monkeypatch.setattr(lexical, "_hash_embed", other_hash_embed)
+    assert _train_spec_tag("caspar", 40, 300) != base
+    monkeypatch.setattr(lexical, "_hash_embed", real)
+    assert _train_spec_tag("caspar", 40, 300) == base
+
+    real_lit = mentions._literal_candidates
+
+    def other_literals(words, brks):
+        return list(real_lit(words, brks))[:1]
+
+    monkeypatch.setattr(mentions, "_literal_candidates", other_literals)
+    # NOTE: _parse_span imports _literal_candidates function-locally at
+    # CALL time, so the walk must list it as an explicit root — this
+    # asserts that listing keeps working
+    assert _train_spec_tag("caspar", 40, 300) != base

@@ -4,6 +4,7 @@ re-reconciling only the touched canonical ids."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sling_spark.kg.assets import ITEMS_DDL, seed_dataframes
@@ -257,3 +258,51 @@ def test_streaming_delta_maintenance(spark, tmp_path):
     )
     with open(os.path.join(state, "_current")) as f:
         assert int(f.read()) == 2
+
+
+def test_streaming_state_retention(spark, tmp_path):
+    """keep_versions prunes state versions older than the newest R
+    after each pointer flip — storage is O(R × KB), not O(epochs × KB)
+    — while the surviving chain stays correct and the pointer always
+    resolves."""
+    import os
+
+    from sling_spark.kg.assets import ITEMS_DDL
+    from sling_spark.kg.delta import (
+        _current_version,
+        init_kb_state,
+        stream_kb_deltas,
+    )
+
+    seed = seed_dataframes(spark)
+    clusters = build_clusters(seed["same_as"])
+    sources, demo_delta = demo_sources(spark)
+    state = str(tmp_path / "state")
+    init_kb_state(sources, clusters, state)
+
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops)
+    demo_delta.coalesce(1).write.parquet(drops + "/batch1")
+    for i, qid in enumerate(["Q15", "Q20", "Q2"]):
+        spark.createDataFrame(
+            [{"id": qid, "source_priority": 1, "deleted": False,
+              "name": f"{qid} (rev {i})", "types": [],
+              "statements": [{"pid": "P2", "object": qid,
+                              "qualifiers": {}}]}],
+            schema=ITEMS_DDL + ", source_priority int, deleted boolean",
+        ).coalesce(1).write.parquet(f"{drops}/batch{i + 2}")
+
+    with pytest.raises(ValueError, match="keep_versions"):
+        stream_kb_deltas(spark, drops + "/*", state, clusters,
+                         str(tmp_path / "ckpt_bad"), keep_versions=1)
+
+    stream_kb_deltas(spark, drops + "/*", state, clusters,
+                     str(tmp_path / "ckpt"), keep_versions=2)
+    assert _current_version(spark, state) == 4
+    kept = sorted(d for d in os.listdir(state) if d.startswith("v"))
+    assert kept == ["v3", "v4"]  # older versions pruned
+    final = spark.read.parquet(os.path.join(state, "v4", "kb_items"))
+    expected = full_rebuild(
+        spark.read.parquet(os.path.join(state, "v4", "sources")), clusters
+    )
+    assert _item_rows(final) == _item_rows(expected)

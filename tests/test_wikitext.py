@@ -228,3 +228,91 @@ def test_intro_alias_resolves(spark):
     assets_bc, _ = build_assets(spark, doc_stats(docs), seed)
     ents = {m["entity"] for m in detect_mentions(docs, assets_bc).collect()}
     assert "Q77" in ents
+
+
+def test_parse_item_deprecated_p31_not_typed():
+    """A deprecated-rank P31 claim must not type the item: the
+    statement is dropped at merge, and a page typed only by a
+    deprecated 'disambiguation' claim would be misclassified out of
+    wikipedia_mapping."""
+    from sling_spark.sources.wikidata import parse_item
+
+    def p31(qid, rank):
+        return {"mainsnak": {"datavalue": {
+            "type": "wikibase-entityid",
+            "value": {"entity-type": "item", "id": qid}}},
+            "rank": rank}
+
+    item, _ = parse_item({
+        "id": "Q7", "labels": {"en": {"language": "en", "value": "x"}},
+        "claims": {"P31": [p31("Q4167410", "deprecated"),
+                           p31("Q5", "normal")]},
+    })
+    assert item["types"] == ["Q5"]
+    # the deprecated statement itself is still parsed (merge drops it)
+    ranks = {s["qualifiers"].get("rank") for s in item["statements"]}
+    assert "deprecated" in ranks
+
+
+def test_parse_item_label_fallback_keeps_real_lang():
+    """A label fallback to another language must tag the alias row with
+    the label's ACTUAL language — a German-only item ingested with
+    lang='en' must not inject a German alias into the English priors."""
+    from sling_spark.sources.wikidata import parse_item
+
+    item, aliases = parse_item(
+        {"id": "Q8", "labels": {"de": {"language": "de", "value": "Straße"}}},
+        lang="en",
+    )
+    assert item["name"] == "Straße"
+    assert aliases == [{"entity": "Q8", "alias": "Straße", "lang": "de",
+                        "is_label": True}]
+    # requested-language label keeps the requested tag
+    _, al2 = parse_item(
+        {"id": "Q9", "labels": {"en": {"language": "en", "value": "Street"},
+                                "de": {"language": "de", "value": "Straße"}}},
+        lang="en",
+    )
+    assert al2[0]["lang"] == "en" and al2[0]["alias"] == "Street"
+
+
+def test_parse_item_alias_only_skips_claims():
+    """with_claims=False returns identical alias rows with empty
+    statements/types — the cheap alias-extraction path."""
+    from sling_spark.sources.wikidata import parse_item
+
+    obj = {
+        "id": "Q10",
+        "labels": {"en": {"language": "en", "value": "Thing"}},
+        "aliases": {"en": [{"language": "en", "value": "Object"}]},
+        "claims": {"P31": [{"mainsnak": {"datavalue": {
+            "type": "wikibase-entityid",
+            "value": {"entity-type": "item", "id": "Q5"}}},
+            "rank": "normal"}]},
+    }
+    full_item, full_aliases = parse_item(obj)
+    lite_item, lite_aliases = parse_item(obj, with_claims=False)
+    assert lite_aliases == full_aliases
+    assert lite_item["statements"] == [] and lite_item["types"] == []
+    assert full_item["types"] == ["Q5"]
+
+
+def test_parse_sitelinks_excludes_non_language_wikis():
+    """commonswiki/metawiki/wikidatawiki are not language Wikipedias;
+    treating them as lang='commons' etc. would inflate the sitelink
+    table with gallery/meta pages."""
+    from sling_spark.sources.wikidata import parse_sitelinks
+
+    rows = parse_sitelinks({
+        "id": "Q11",
+        "sitelinks": {
+            "enwiki": {"site": "enwiki", "title": "Alpha"},
+            "dewiki": {"site": "dewiki", "title": "Alpha"},
+            "commonswiki": {"site": "commonswiki", "title": "Category:Alpha"},
+            "wikidatawiki": {"site": "wikidatawiki", "title": "Q11"},
+            "metawiki": {"site": "metawiki", "title": "Alpha"},
+            "enwikiquote": {"site": "enwikiquote", "title": "Alpha"},
+        },
+    })
+    assert sorted((r["lang"], r["title"]) for r in rows) == [
+        ("de", "Alpha"), ("en", "Alpha")]
