@@ -579,7 +579,7 @@ def q_doc_token_count(spark, sf_dir):
 
 _SQL_TOKEN_COUNT = """
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
+       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens
 FROM documents
 """
@@ -593,11 +593,10 @@ def q_doc_lang_id(spark, sf_dir):
 
 
 def _sql_marker_score(lang: str) -> str:
-    terms = [
-        f"((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2})::BIGINT"
-        for w in LANG_MARKERS[lang]
-    ]
-    return " + ".join(terms)
+    # exact token equality (lock-step with textstats._marker_count):
+    # the length/replace substring trick undercounts adjacent markers
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))::BIGINT"
 
 
 def _sql_lang_id() -> str:
@@ -611,7 +610,9 @@ def _sql_lang_id() -> str:
     return f"""
 WITH scored AS (
   SELECT doc_id, {scores}
-  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents)
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents)
 ), withbest AS (
   SELECT doc_id, s_de, s_en, s_es, s_fr, {best} AS best FROM scored
 )
@@ -627,18 +628,16 @@ def q_doc_quality(spark, sf_dir):
 
 
 def _sql_quality() -> str:
-    stop_terms = " + ".join(
-        f"((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2})::BIGINT"
-        for w in LANG_MARKERS["en"]
-    )
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    stop_terms = f"len(list_filter(toks, x -> x IN ({words})))::BIGINT"
     return f"""
 WITH base AS (
   SELECT doc_id,
          length(text)::BIGINT AS n_chars,
-         (CASE WHEN length(trim(text)) = 0 THEN 0
+         (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
          (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::BIGINT AS n_punct,
-         ' ' || lower(text) || ' ' AS padded
+         string_split_regex(lower(text), '\\s+') AS toks
   FROM documents
 ), feat AS (
   SELECT doc_id, n_chars, n_tokens,
@@ -929,7 +928,8 @@ def _sql_lm_perplexity() -> str:
     return r"""
 WITH pos AS (
   SELECT doc_id, w, i FROM (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> len(x) > 0) AS w
     FROM documents
   ) t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
   WHERE len(w) >= 2
@@ -938,8 +938,11 @@ big AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1 FROM pos),
 bc AS (SELECT bigram, count(*)::BIGINT AS cb FROM big GROUP BY bigram),
 hc AS (SELECT w1, count(*)::BIGINT AS ch FROM big GROUP BY w1),
 voc AS (
+  -- the empty-token filter matches _ngram_array: an empty doc must not
+  -- put '' into the LM vocabulary
   SELECT count(DISTINCT x)::BIGINT AS v FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS x
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0)) AS x
     FROM documents
   )
 ),

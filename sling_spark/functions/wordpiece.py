@@ -104,7 +104,14 @@ def build_wordpiece_vocab(
     """BPE induction over (word, freq) pairs → [(piece, freq), ...] in
     emission order ([UNK], unigrams as first encountered, then merges).
     ``freq`` is the symbol's frequency at emission time (occurrence-
-    weighted for unigrams, exactly like the reference's sym->freq)."""
+    weighted for unigrams, exactly like the reference's sym->freq).
+
+    When ``max_size`` exceeds the real merge supply, the tail of the
+    lexicon is zero-frequency stale bigrams (pairs merged AWAY by
+    earlier selections) — reference behavior, reproduced deliberately:
+    wordpiece-builder.cc:88-115 selects any unselected symbol with no
+    freq>0 guard. Size the vocab to the corpus (or drop freq==0 pieces
+    downstream) if phantom pieces are unwanted."""
     out: list[Symbol] = []
     unigrams: dict[tuple[str, bool], Symbol] = {}
     bigrams: dict[tuple[int, int], Symbol] = {}
@@ -228,7 +235,16 @@ def distributed_merge_rounds(
     Pair counts are RECOMPUTED from the current encodings each round
     rather than incrementally adjusted — identical values for every
     unselected pair (AdjustBigram maintains exactly this invariant),
-    in exchange for a stateless MapReduce round."""
+    in exchange for a stateless MapReduce round.
+
+    Exhaustion boundary: when no adjacent pair remains (every word is a
+    single symbol), this path STOPS and returns fewer than ``n_merges``
+    merges. The in-memory builder — like the reference, which has no
+    freq>0 guard either (wordpiece-builder.cc:88-115) — keeps emitting
+    stale zero-frequency bigram symbols past that point; recomputed
+    counts cannot see those (they no longer occur in any word), so the
+    two paths agree exactly up to the last real merge and the parity
+    test sizes its vocab accordingly."""
     import pandas as pd
 
     # symbol ids: unigrams are "L<ch>" / "T<ch>" (leading/trailing —
@@ -286,10 +302,17 @@ def distributed_merge_rounds(
             else:
                 bt = best[0]
                 # freq equal by construction: longer text, then
-                # lexicographic, then leading-before-trailing
+                # lexicographic, then leading-before-trailing, then —
+                # for FULL ties (two structurally different pairs
+                # rendering the same text with the same role) — the
+                # smaller (l, r) id pair. The ids are deterministic
+                # functions of structure, so the selection never
+                # depends on collect()/shuffle order across runs.
                 if (
                     len(cand[0]) > len(bt)
                     or (len(cand[0]) == len(bt) and cand[0] < bt)
+                    or (cand[0] == bt and cand[1] == best[1]
+                        and cand[2:] < best[2:])
                     or (cand[0] == bt and not cand[1] and best[1])
                 ):
                     best = cand

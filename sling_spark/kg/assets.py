@@ -165,16 +165,19 @@ class AssetStore:
     token: str = ""
 
 
-_STORE_CACHE: dict[tuple[str, str], KbAssets] = {}
+# keyed by PATH, holding (token, assets): a rebuild at the same path
+# REPLACES the stale entry instead of accumulating beside it — a
+# long-lived worker process serving N pipeline runs must hold at most
+# one (GB-scale at the 100×-KB size) copy per store path, not N.
+_STORE_CACHE: dict[str, tuple[str, KbAssets]] = {}
 
 
 def load_assets(store: AssetStore) -> KbAssets:
     """Worker-side: read the asset Parquet columnarly and build the
     lookup structures — once per (process, store path, build token)."""
-    cache_key = (store.path, store.token)
-    cached = _STORE_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    cached = _STORE_CACHE.get(store.path)
+    if cached is not None and cached[0] == store.token:
+        return cached[1]
     import pyarrow.parquet as pq
 
     def read(name):
@@ -226,7 +229,7 @@ def load_assets(store: AssetStore) -> KbAssets:
         statements=statements,
         gender=gender,
     )
-    _STORE_CACHE[cache_key] = assets
+    _STORE_CACHE[store.path] = (store.token, assets)
     return assets
 
 
@@ -244,21 +247,22 @@ def resolve_assets(value) -> KbAssets:
 # ---------------------------------------------------------------------------
 
 
-def _dicts_from_dataframes(dfs: dict[str, DataFrame], idf_df: DataFrame):
-    """Collect the asset DataFrames into the broadcast dicts (broadcast
-    mode). Each table is dimension-sized (items/aliases scale)."""
+def _kb_dicts(dfs: dict[str, DataFrame]):
+    """Collect the KB-derived asset DataFrames into the broadcast dicts
+    (broadcast mode): (links, popularity, statements, gender). Each
+    table is dimension-sized (items/aliases scale); IDF is the one
+    corpus-dependent table and is collected by the caller."""
     links: dict[str, list[tuple[str, int]]] = {}
     for r in dfs["links"].collect():
         links.setdefault(r["src"], []).append((r["dst"], r["count"]))
     for v in links.values():
-        v.sort()
+        v.sort()  # deterministic context-update order
     popularity = {r["id"]: r["count"] for r in dfs["popularity"].collect()}
     statements: dict[str, set] = {}
     for r in dfs["facts"].collect():
         statements.setdefault(r["subj"], set()).add((r["pid"], r["obj"]))
     gender = {r["id"]: r["gender"] for r in dfs["gender"].collect()}
-    idf = {r["fp"]: r["idf"] for r in idf_df.collect()}
-    return links, popularity, statements, gender, idf
+    return links, popularity, statements, gender
 
 
 def phrase_table_future(
@@ -279,17 +283,7 @@ def phrase_table_future(
         dfs = asset_dataframes(spark, seed, min_alias_count=min_count)
         pt_df = dfs["phrase_table"]
         pt = phrase_table_dict(pt_df)
-        links: dict[str, list[tuple[str, int]]] = {}
-        for r in dfs["links"].collect():
-            links.setdefault(r["src"], []).append((r["dst"], r["count"]))
-        for v in links.values():
-            v.sort()
-        popularity = {r["id"]: r["count"] for r in dfs["popularity"].collect()}
-        statements: dict[str, set] = {}
-        for r in dfs["facts"].collect():
-            statements.setdefault(r["subj"], set()).add((r["pid"], r["obj"]))
-        gender = {r["id"]: r["gender"] for r in dfs["gender"].collect()}
-        return pt_df, pt, (links, popularity, statements, gender)
+        return pt_df, pt, _kb_dicts(dfs)
 
     fut = pool.submit(run)
     pool.shutdown(wait=False)
@@ -383,7 +377,15 @@ def build_asset_store(
         name, df = item
         df.write.mode("overwrite").parquet(os.path.join(store_dir, name))
 
-    if store_future is not None and store_future["dir"] == store_dir:
+    if store_future is not None and store_future["dir"] != store_dir:
+        # a mismatched future means its background writes target a
+        # different directory and would never be joined — their errors
+        # would vanish into a dead executor. Fail loudly (caller bug).
+        raise ValueError(
+            f"store_future targets {store_future['dir']!r}, "
+            f"build_asset_store got store_dir={store_dir!r}"
+        )
+    if store_future is not None:
         idf_df = idf_table(documents)
         write(("idf", idf_df))
         for f in store_future["writes"]:

@@ -192,7 +192,6 @@ ABBREV_SKIP = {"-", "&", "of", "for", "and", "the", "in",
 
 def _scan_abbreviations(
     words: list[str],
-    brks,
     fps,
     forms,
     sb: int,
@@ -710,7 +709,7 @@ def _annotate_from_candidates(
         # §5), while both pre-masks add per-doc/per-sentence setup that
         # exceeds the skipped work.
         sent_cands += _scan_abbreviations(
-            words, brks, fps, forms, sb, se, phrase_table, abbrev_map
+            words, fps, forms, sb, se, phrase_table, abbrev_map
         )
         spans = _solve_cover(sent_cands, n) if sent_cands else []
 
@@ -776,8 +775,13 @@ def _annotate_from_candidates(
         # sentence included, only mentions before the pronoun), searching
         # back at most ANAPHORA_WINDOW sentences. Gender comes from the
         # entity's P21 fact (anaphora.cc:178-190); genderless entities are
-        # UNKNOWN and agree with it/this. Anaphors then act as relation
-        # SUBJECTS only (never as targets).
+        # UNKNOWN and agree with it/this. LITERAL mentions (dates,
+        # numbers, measures) are legitimate antecedents — deliberately:
+        # the reference takes ANY outer span as a markable
+        # (anaphora.cc:100-103), and a literal span's frame resolves to
+        # a non-frame handle, so IsFrame fails and its gender stays
+        # UNKNOWN — exactly the agreement class 'it'/'this' matches.
+        # Anaphors then act as relation SUBJECTS only (never as targets).
         anaphors: list[tuple[int, int, str]] = []
         if pron_nz is not None:
             # flagged pronoun positions inside this sentence only

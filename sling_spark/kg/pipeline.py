@@ -32,8 +32,6 @@ BASELINE.json's sha256 invariant.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,12 +45,21 @@ from .xref import build_clusters, canonicalize
 
 
 def _materialize(df: DataFrame, spark: SparkSession, path: str | None, name: str):
-    """Write-once / read-back checkpoint. No path → pass through."""
+    """Write-once / read-back checkpoint. No path → pass through.
+
+    The ``_SUCCESS`` probe goes through the Hadoop FS API, not
+    ``os.path.exists`` — the checkpoint dir may live on s3://, hdfs://,
+    abfs://, …, where a driver-local probe is always False and every
+    stage of a killed run would silently recompute instead of resuming
+    (the delta-state pointer learned the same lesson, kg/delta.py)."""
     if path is None:
         return df
-    target = os.path.join(path, name)
-    success = os.path.join(target, "_SUCCESS")
-    if not os.path.exists(success):
+    target = path.rstrip("/") + "/" + name
+    from .delta import _hadoop_fs
+
+    fs, _, jvm = _hadoop_fs(spark, target)
+    success = jvm.org.apache.hadoop.fs.Path(target + "/_SUCCESS")
+    if not fs.exists(success):
         df.write.mode("overwrite").parquet(target)
     return spark.read.parquet(target)
 

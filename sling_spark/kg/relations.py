@@ -85,15 +85,13 @@ def _solve_sentence(pdf: pd.DataFrame) -> pd.DataFrame:
     prio = {p: i for i, p in enumerate(PROPERTY_PRIORITY)}
     rows = pdf.to_dict("records")
     # subjects in span order
-    subjects: dict[tuple[int, int], dict] = {}
+    subjects: dict[tuple[int, int], list[dict]] = {}
     for r in rows:
-        subjects.setdefault((r["s_begin"], -r["s_end"]), {"row": r, "cands": []})
-    for r in rows:
-        subjects[(r["s_begin"], -r["s_end"])]["cands"].append(r)
+        subjects.setdefault((r["s_begin"], -r["s_end"]), []).append(r)
     used: set[int] = set()
     out = []
     for key in sorted(subjects):
-        group = subjects[key]["cands"]
+        group = subjects[key]
         # facts in priority order, deduped
         facts: dict[tuple[str, str], list[dict]] = {}
         for r in group:

@@ -78,11 +78,15 @@ def _edge_sort_key(a: str, b: str) -> tuple:
 
 
 def normalize_id_col(c: Column) -> Column:
-    # namespace keys never contain ':' (kb.NAMESPACE_PRIORITY contract),
-    # so substring_index on the single separator is exact.
+    # split on the FIRST ':' only (limit-2 split), matching
+    # normalize_id's partition(':'): the namespace never contains ':'
+    # but the KEY may (timestamp literals '…T10:30:00', composite ids
+    # 'maven:group:artifact') — a last-colon split would corrupt those,
+    # silently and divergently from the driver-side oracle.
     has = F.instr(c, ":") > 0
-    ns = F.when(has, F.substring_index(c, ":", 1)).otherwise(F.lit("Q"))
-    key = F.when(has, F.substring_index(c, ":", -1)).otherwise(c)
+    parts = F.split(c, ":", 2)
+    ns = F.when(has, parts.getItem(0)).otherwise(F.lit("Q"))
+    key = F.when(has, parts.getItem(1)).otherwise(c)
     key = F.when(ns.isin(*CASELESS_NAMESPACES), F.lower(key)).otherwise(key)
     return F.concat_ws(":", ns, key)
 

@@ -443,12 +443,22 @@ def contamination_report(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )
+    # base the report on the FULL input universe: a token-less doc
+    # (empty/whitespace text) yields no shingle rows, and a report that
+    # silently omits it breaks per-document contracts downstream (an
+    # inner join back to the corpus would drop the doc). Such docs
+    # report (0, 0, 0.0).
+    universe = docs.select(F.col(id_col).alias("doc_id"))
     return (
-        totals.join(hits, on="doc_id", how="left")
-        .fillna(0, subset=["n_contaminated"])
+        universe.join(totals, on="doc_id", how="left")
+        .join(hits, on="doc_id", how="left")
+        .fillna(0, subset=["n_shingles", "n_contaminated"])
         .withColumn(
             "contamination",
-            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+            ).otherwise(F.lit(0.0)),
         )
     )
 

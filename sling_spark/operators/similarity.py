@@ -35,7 +35,12 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # a zero-norm vector has no direction: score NULL (fails any
+    # threshold filter, sorts last under desc) — an unguarded divide
+    # would abort the whole job under Spark 4's default ANSI mode the
+    # moment one degenerate embedding appears in a 100 TB corpus
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -86,8 +91,17 @@ def _srp_bucket(vec_col: str, table: int, planes: int):
                 F.col(vec_col),
                 F.transform(
                     F.sequence(F.lit(0), dims - 1),
+                    # pmod, not %: Spark's % keeps the dividend's sign,
+                    # so xxhash64 % 7 spans {-6..6} and the weights
+                    # would span [-9, 3] — a negative-mean hyperplane
+                    # set that piles sign bits onto 0 and funnels
+                    # vectors into few buckets. pmod gives the intended
+                    # symmetric {-3..3}.
                     lambda d: (
-                        (F.xxhash64(d.cast("string"), F.lit(f"t{table}p{p}")) % 7) - 3
+                        F.pmod(
+                            F.xxhash64(d.cast("string"), F.lit(f"t{table}p{p}")),
+                            F.lit(7),
+                        ) - 3
                     ).cast("double"),
                 ),
                 lambda x, wgt: x * wgt,
@@ -204,6 +218,9 @@ def kmeans_fit(
         .collect()
     )
     cents = [list(r["v"]) for r in init]
+    # fewer rows than k: fit that many cells (standard small-input
+    # degradation) instead of indexing past the init list
+    k = len(cents)
     for _ in range(iters):
         assigned = ivf_assign(df, cents, vec_col=vec_col)
         dims = assigned.select(

@@ -1,8 +1,8 @@
 """Text analysis for training-data pipelines: language ID, quality
 scoring, token counting, document fingerprinting.
 
-Every operator is pure JVM column expressions (length/replace/regexp/
-split arithmetic) so the hot path is whole-stage codegen — and every
+Every operator is pure JVM column expressions (split/filter/regexp
+arithmetic) so the hot path is whole-stage codegen — and every
 formula is reproducible in ANSI SQL, which is exactly how the driver's
 DuckDB oracle validates them. Doubles are rounded to 6 places for
 engine-portable comparison.
@@ -14,9 +14,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets: language ID scores a document
-# by counting occurrences of each language's marker words (padded with
-# spaces — the portable "contains word" idiom). Deterministic n-gram
-# heuristic in the spirit of fastText-lite; NOT a trained model.
+# by counting tokens equal to each language's marker words (exact
+# token equality over the whitespace split). Deterministic heuristic in
+# the spirit of fastText-lite; NOT a trained model.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
     "de": ["der", "die", "und", "ist", "nicht"],
@@ -25,50 +25,51 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def _count_occurrences(text: Column, needle: str) -> Column:
-    """#occurrences of ``needle`` in ``text`` via the length/replace
-    trick (portable to any SQL engine)."""
-    return (
-        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("long")
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text; the split artifacts an
+    empty/whitespace-edged text produces ('' tokens) are removed."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: F.length(x) > 0
+    )
+
+
+def _marker_count(toks: Column, words: list[str]) -> Column:
+    """#tokens equal to any marker word — EXACT token equality, not the
+    length/replace substring trick: that trick consumes the shared
+    separator between adjacent occurrences (' the the ' counts 1, not
+    2) and misses non-space whitespace boundaries, systematically
+    under-scoring exactly the repetitive text these filters target.
+    The lambda form is identically expressible in ANSI/DuckDB SQL
+    (list_filter + IN), which the contract oracles mirror."""
+    return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
 
 
 def token_count(text: Column) -> Column:
     """Whitespace token count, null/empty-safe, JVM-side."""
     trimmed = F.trim(text)
-    return F.when(F.length(trimmed) == 0, F.lit(0).cast("long")).otherwise(
-        F.size(F.split(trimmed, r"\s+")).cast("long")
-    )
+    return F.when(
+        text.isNull() | (F.length(trimmed) == 0), F.lit(0).cast("long")
+    ).otherwise(F.size(F.split(trimmed, r"\s+")).cast("long"))
 
 
 def word_marker_score(text: Column, lang: str) -> Column:
-    """Marker-word hits for one language over a lowercased, space-padded
-    copy of the text."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    score = F.lit(0).cast("long")
-    for w in LANG_MARKERS[lang]:
-        score = score + _count_occurrences(padded, f" {w} ")
-    return score
+    """Marker-word token count for one language."""
+    return _marker_count(_tokens(text), LANG_MARKERS[lang])
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Predicted language = argmax marker score; ties break by language
     code order; zero evidence → 'und'.
 
-    Built as staged projections (padded → per-lang scores → best → pred)
+    Built as staged projections (tokens → per-lang scores → best → pred)
     so each codegen stage stays small — one flat expression tree here
-    multiplies the padded-text subtree 20x and stalls Catalyst."""
+    multiplies the tokenize subtree 20x and stalls Catalyst."""
     langs = sorted(LANG_MARKERS)
-    padded = df.withColumn(
-        "__padded", F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    )
-    scored = padded
+    scored = df.withColumn("__toks", _tokens(F.col(text_col)))
     for lang in langs:
-        s = F.lit(0).cast("long")
-        for w in LANG_MARKERS[lang]:
-            s = s + _count_occurrences(F.col("__padded"), f" {w} ")
-        scored = scored.withColumn(f"__s_{lang}", s)
+        scored = scored.withColumn(
+            f"__s_{lang}", _marker_count(F.col("__toks"), LANG_MARKERS[lang])
+        )
     scored = scored.withColumn(
         "__best", F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
     )
@@ -79,7 +80,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -
             F.lit(lang),
         ).otherwise(pred)
     return scored.withColumn(out_col, pred).drop(
-        "__padded", "__best", *[f"__s_{lang}" for lang in langs]
+        "__toks", "__best", *[f"__s_{lang}" for lang in langs]
     )
 
 
@@ -97,10 +98,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars
         - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
     ).cast("long")
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    n_stop = F.lit(0).cast("long")
-    for w in LANG_MARKERS["en"]:
-        n_stop = n_stop + _count_occurrences(padded, f" {w} ")
+    n_stop = _marker_count(_tokens(text), LANG_MARKERS["en"])
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(n_stop / safe_tokens, 6)
@@ -135,13 +133,19 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "doc_f
     return df.withColumn(out_col, fp)
 
 
-def ngram_profile(df: DataFrame, text_col: str = "text", n: int = 3, top: int = 5) -> DataFrame:
-    """Top character n-grams per document (rolling window over the
+def ngram_profile(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct character n-grams per document (rolling window over the
     lowercased text) — the building block for n-gram language models and
-    near-dup shingling. JVM-side: sequence + transform + explode."""
+    near-dup shingling. JVM-side: sequence + transform + explode. Text
+    shorter than ``n`` yields no rows (the unguarded sequence(1, 0)
+    would COUNT DOWN — Spark's sequence defaults to step -1 when
+    start > stop — and emit bogus sub-n grams)."""
     lowered = F.lower(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: lowered.substr(i, F.lit(n)))
+    idx = F.sequence(F.lit(1), F.length(lowered) - (n - 1))
+    grams = F.when(
+        F.length(lowered) >= n,
+        F.transform(idx, lambda i: lowered.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         "*", F.explode(F.array_distinct(grams)).alias(f"gram{n}")
     )
@@ -155,8 +159,12 @@ def ngram_profile(df: DataFrame, text_col: str = "text", n: int = 3, top: int = 
 def _ngram_array(text: Column, n: int) -> Column:
     """Array of word n-gram strings (with multiplicity), JVM-side:
     lower → split → sliding concat_ws over an index sequence; short
-    documents yield an empty array."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    documents yield an empty array. Empty tokens are filtered: split of
+    an empty/whitespace text yields [''], which would otherwise count
+    the empty string as a unigram (inflating the LM vocabulary)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda x: F.length(x) > 0
+    )
     idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.when(F.size(toks) >= n, grams).otherwise(

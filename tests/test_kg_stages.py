@@ -412,6 +412,12 @@ def test_asset_store_scale_path(spark, tmp_path):
     fp_new = phrase_fingerprint("freshalias token")
     assert fp_new not in first.phrase_table  # stale build lacks it
     assert fp_new in second.phrase_table  # rebuild visible despite same path
+    # the rebuild REPLACES the worker-cache entry (one copy per path,
+    # not one per build token — a reused worker must not accumulate
+    # every superseded GB-scale asset copy)
+    from sling_spark.kg.assets import _STORE_CACHE
+
+    assert _STORE_CACHE[bc4.value.path][0] == bc4.value.token
 
     docs.unpersist()
     stats.unpersist()
@@ -522,6 +528,28 @@ def test_alias_selector_thresholds(spark):
         for r in select_alias_rows(kb.alias_rows())
     }
     assert spark_sel == oracle_sel
+
+
+def test_normalize_id_column_twin_parity(spark):
+    """normalize_id_col must agree with the driver-side normalize_id on
+    every shape — in particular keys CONTAINING ':' (composite ids,
+    timestamp literals), where a last-colon split silently corrupts the
+    value and diverges from the oracle."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.xref import normalize_id, normalize_id_col
+
+    ids = [
+        "Q42", "github:Apache/Spark", "maven:org.apache:spark-core",
+        "2014-02-27T10:30:00", "npm:@scope/pkg", "pypi:Py:Pkg:Extra",
+        "plainword", "a:b", "a:b:c:d", "Q:Q7",
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {
+        r["id"]: r["norm"]
+        for r in df.select("id", normalize_id_col(F.col("id")).alias("norm")).collect()
+    }
+    assert got == {i: normalize_id(i) for i in ids}
 
 
 def test_xref_conflict_reporting(spark):

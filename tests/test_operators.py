@@ -137,11 +137,49 @@ def test_similarity_lsh_vs_bruteforce_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, q, k=5)
-    approx = lsh_topk(emb, q, k=5, planes=6, tables=8)
+    # planes=4/tables=16 measures 0.84 recall on these 500 random 64-d
+    # vectors (a hard case: neighbors barely separated from background).
+    # The pre-pmod hash skew scored 'better' here only by degenerating —
+    # nearly all vectors shared one bucket, i.e. hidden brute force; the
+    # fixed sketch spreads 2^planes real buckets (max 19/500 at 6
+    # planes) and recall follows the standard planes/tables tradeoff.
+    approx = lsh_topk(emb, q, k=5, planes=4, tables=16)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # LSH is approximate: require non-trivial recall, not equality
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_kmeans_fit_fewer_rows_than_k(spark):
+    """k > corpus size fits one cell per row instead of crashing on the
+    missing init centroids (standard small-input degradation)."""
+    from sling_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [5.0, 5.2]), (3, [0.2, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(df, k=16, iters=2)
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+def test_cosine_zero_vector_scores_null_not_crash(spark):
+    """A zero-norm embedding must not abort the job (ANSI divide-by-
+    zero); it scores NULL, fails thresholds, and sorts last."""
+    from sling_spark.operators.similarity import brute_force_topk, cosine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    scored = df.select(
+        "vec_id", cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    )
+    got = {r["vec_id"]: r["c"] for r in scored.collect()}
+    assert got[2] is None and got[1] == 1.0
+    # end-to-end: top-k over a corpus containing the degenerate vector
+    top = brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=2)
+    assert {r["neighbor_id"] for r in top.collect()} == {2, 3}
 
 
 def test_ivf_assign(spark):
@@ -631,6 +669,27 @@ def test_contamination_broadcast_guard(spark):
     assert "broadcast" not in guarded._jdf.queryExecution().optimizedPlan().toString().lower()
     as_rows = lambda df: sorted(map(tuple, df.collect()))
     assert as_rows(hinted) == as_rows(guarded)
+
+
+def test_contamination_covers_tokenless_docs(spark):
+    """A doc whose text yields zero shingles (empty / whitespace-only)
+    must still appear in the report as (0, 0, 0.0) — the per-document
+    contract: the report's doc universe IS the input universe."""
+    from sling_spark.operators.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, ""), (3, "   \n  ")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in contamination_report(docs, bench, n=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_contaminated"] > 0
+    for d in (2, 3):
+        assert (rows[d]["n_shingles"], rows[d]["n_contaminated"],
+                rows[d]["contamination"]) == (0, 0, 0.0)
 
 
 def test_jaccard_stop_shingle_broadcast_guard(spark):

@@ -151,6 +151,24 @@ def test_resumability(spark, results, oracle):
     assert before == after
 
 
+def test_materialize_resumes_on_uri_checkpoint(spark, tmp_path):
+    """The _SUCCESS probe must go through the Hadoop FS API: on a
+    scheme-qualified checkpoint dir (file://, and by the same code path
+    s3a://, hdfs://) a driver-local os.path.exists is always False and
+    resume would silently never engage — every stage would recompute."""
+    from sling_spark.kg.pipeline import _materialize
+
+    ckpt = "file://" + str(tmp_path / "ckpt")
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    out1 = _materialize(df1, spark, ckpt, "stage")
+    assert sorted(r["v"] for r in out1.collect()) == [0, 1, 2, 3, 4]
+    # a second call with DIFFERENT data must read the checkpoint back
+    # (resume), not recompute/rewrite
+    df2 = spark.range(99).withColumnRenamed("id", "v")
+    out2 = _materialize(df2, spark, ckpt, "stage")
+    assert sorted(r["v"] for r in out2.collect()) == [0, 1, 2, 3, 4]
+
+
 def test_prf_scoring():
     s = PRF.score({1, 2, 3, 4}, {2, 3, 4, 5})
     assert s.precision == 0.75 and s.recall == 0.75

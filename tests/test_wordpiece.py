@@ -58,6 +58,22 @@ def test_distributed_rounds_match_inmemory(spark):
     assert got == expected_merges[:6]
 
 
+def test_distributed_rounds_stop_at_exhaustion(spark):
+    """At merge exhaustion the paths diverge BY DESIGN: the in-memory
+    builder (like the reference, which has no freq>0 guard) emits stale
+    zero-frequency bigrams, while the distributed path — whose pair
+    counts are recomputed from current encodings — stops at the last
+    real merge. The agreement contract is: identical up to exhaustion."""
+    full = build_wordpiece_vocab([("abc", 1)], max_size=100)
+    # reference behavior: the tail piece is the merged-away (##b,##c)
+    # bigram at frequency zero
+    assert full[-1] == ("##bc", 0)
+    wf = spark.createDataFrame([("abc", 1)], "word string, freq long")
+    got = distributed_merge_rounds(wf, n_merges=10, checkpoint_every=4)
+    real_merges = [p for p in full[4:] if p[1] > 0]  # [UNK] + 3 unigrams
+    assert got == real_merges == [("ab", 1), ("abc", 1)]
+
+
 def test_induced_vocab_round_trips_the_corpus(spark):
     """The induced lexicon feeds the SubwordTokenizer with FULL
     coverage: every corpus word re-tokenizes without OOV and the
