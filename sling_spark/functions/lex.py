@@ -76,12 +76,19 @@ def parse_lex(lex: str) -> tuple[str, list[tuple[int, int, str]]]:
             stack.append(pos)
             i += 1
         elif c == "|":
-            # read ref up to the matching ']'
-            j = lex.index("]", i)
-            ref = lex[i + 1 : j]
-            if stack:
-                spans.append((stack.pop(), pos, ref))
-            i = j + 1
+            # read ref up to the matching ']'; a '|' with no closing
+            # bracket is malformed LEX — degrade to literal text
+            # instead of aborting the whole Arrow batch
+            j = lex.find("]", i)
+            if j == -1:
+                text.append(c)
+                pos += 1
+                i += 1
+            else:
+                ref = lex[i + 1 : j]
+                if stack:
+                    spans.append((stack.pop(), pos, ref))
+                i = j + 1
         elif c == "]":
             if stack:
                 spans.append((stack.pop(), pos, ""))

@@ -30,7 +30,16 @@ INT_MIN, INT_MAX = -(1 << 30), (1 << 30) - 1  # Handle::kMinInt/kMaxInt range
 def parse_number(s: str, tsep: str, dsep: str, msep: str = "") -> int | float | None:
     """Parse ``s`` with the given thousand/decimal/milli separators.
     Returns int when integral and in the reference's int handle range,
-    float otherwise, None when invalid."""
+    float otherwise, None when invalid.
+
+    Like the reference ParseNumber (mentions.cc:590-655), a bare sign
+    or separator parses as 0 — the reference guards the ANNOTATOR call
+    site with a has-digits check (mentions.cc:559-568) rather than the
+    parser; callers feeding raw tokens must do the same. In this repo
+    the tokenizer's token grammar makes that structural: any token
+    containing a digit fully matches ``\\d+(\\.\\d+)?`` (signs and
+    separators tokenize as their own single-char tokens), so the
+    annotator's digit-led prefilter is exactly the reference guard."""
     if not s:
         return None
     i, n = 0, len(s)

@@ -167,7 +167,13 @@ _REL_SUBJECTS = [qid for qid in sorted(_FACTS)
                  if any(p not in kb.BLOCKED_PROPERTIES for p, _ in _FACTS[qid])
                  and qid in _ENTITY_ALIASES]
 _GENDER = kb.gender_lookup()
-_PERSONS = sorted(qid for qid in _GENDER if qid in _ENTITY_ALIASES)
+# only persons with a pronoun template (masc/fem): gender_lookup can
+# return 0 (unknown) for a P21 that is neither Q91 nor Q92, and the
+# kind==8 branch below indexes _PERSON_PRONOUN_TEMPLATES by the code
+_PERSONS = sorted(
+    qid for qid in _GENDER
+    if qid in _ENTITY_ALIASES and _GENDER[qid] in _PERSON_PRONOUN_TEMPLATES
+)
 _ABBREV_PROJECTS = sorted(
     qid for qid in _REL_SUBJECTS if ("P3", _ABBREV_ORG[0]) in _FACTS.get(qid, ())
 )

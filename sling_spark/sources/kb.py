@@ -16,7 +16,6 @@ exercised.
 
 from __future__ import annotations
 
-from ..functions.normalize import normalize_phrase
 from ..functions.tokenize import phrase_fingerprint, phrase_form
 
 # --- properties -----------------------------------------------------------
@@ -336,16 +335,11 @@ def alias_rows() -> list[dict]:
     count, form, sources). The canonical name is also an alias (SRC_NAME)."""
     rows: list[dict] = []
     for qid, name, _types, aliases, _stmts, _alt in _E:
-        seen: set[str] = set()
         for text, count in aliases:
+            # case variants of the same normalized phrase stay separate
+            # rows (forms differ); the alias-reducer merges counts
+            # downstream, so no dedup happens here
             sources = SRC_NAME if text == name else SRC_ALIAS
-            norm = normalize_phrase(text)
-            key = norm
-            if key in seen:
-                # same normalized phrase listed twice (case variants):
-                # keep both rows — forms differ
-                pass
-            seen.add(key)
             rows.append(
                 {
                     "entity": qid,

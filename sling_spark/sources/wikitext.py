@@ -16,7 +16,10 @@ syntax, producing:
   row per article with the extracted structure as typed columns.
 
 Scope: the node classes the KB pipeline consumes. Parsing is TOTAL on
-garbage: unbalanced markup degrades to literal text, never raises.
+garbage: it never raises. Unclosed templates and strip tags swallow to
+EOF exactly like the reference stack parser (wiki-parser.cc leaves the
+open node on the stack and EOF drops its children); other unbalanced
+markup degrades to literal text.
 """
 
 from __future__ import annotations
@@ -141,14 +144,22 @@ class _Parser:
         nid = self.add(0, HEADING, level, p, eol)
         inner_begin = p + level
         inner_end = p + len(line) - level
-        sub = _Parser(t[inner_begin:inner_end])
-        for node in sub.parse()[1:]:
+        inner_src = t[inner_begin:inner_end]
+        sub = _Parser(inner_src)
+        sub_nodes = sub.parse()
+        # rendered heading text (links → anchors, markup stripped), not
+        # the raw inner markup — computed before offsets are rebased
+        sub_bp: dict[int, list[Node]] = {}
+        for node in sub_nodes:
+            sub_bp.setdefault(node.parent, []).append(node)
+        rendered = _plain(sub_nodes, sub_bp, 0, inner_src).strip()
+        for node in sub_nodes[1:]:
             node.id = len(self.nodes)
             node.parent = nid if node.parent == 0 else node.parent + nid
             node.begin += inner_begin
             node.end += inner_begin
             self.nodes.append(node)
-        self.nodes[nid].name = t[inner_begin:inner_end].strip()
+        self.nodes[nid].name = rendered or inner_src.strip()
         self.pos = eol
         self._skip_newline()
         return True
@@ -166,6 +177,11 @@ class _Parser:
             if t.startswith("|}", self.pos):
                 self.pos += 2
                 break
+            if t.startswith("{|", self.pos):
+                # nested table: recurse so the inner |} cannot
+                # terminate the outer table
+                self.parse_table(tid)
+                continue
             if t.startswith("|-", self.pos):
                 row = self.add(tid, ROW, 0, self.pos, self.pos)
                 self.pos += 2
@@ -291,11 +307,18 @@ class _Parser:
         t = self.text
         start = self.pos
         self.pos += 2
-        # name runs to | or }}
+        # name runs to | or }} at depth 0; a nested {{...}} inside the
+        # name (e.g. {{outer {{inner}}|...}}) is consumed whole
         depth = 0
         name_end = self.pos
         while name_end < self.n:
-            if t.startswith("}}", name_end) or (t[name_end] == "|" and depth == 0):
+            if t.startswith("}}", name_end):
+                if depth == 0:
+                    break
+                depth -= 1
+                name_end += 2
+                continue
+            if t[name_end] == "|" and depth == 0:
                 break
             if t.startswith("{{", name_end):
                 depth += 1
@@ -549,25 +572,50 @@ def extract_emphasis(
 def extract_plain_text(text: str, nodes: list[Node] | None = None) -> str:
     """Markup-stripped article text: templates/refs/comments/media/
     categories dropped, links replaced by their anchor text, font
-    markers removed, headings kept on their own lines."""
+    markers removed, headings kept on their own lines. Line breaks
+    between top-level parts follow the reference text sink
+    (wiki-extractor.cc:366-399 Content): a single source newline
+    renders as a space, a blank line (paragraph) as a newline — so
+    consecutive text lines never fuse word-to-word."""
     nodes = nodes or parse_wikitext(text)
     by_parent: dict[int, list[Node]] = {}
     for n in nodes:
         by_parent.setdefault(n.parent, []).append(n)
-    parts = []
+    parts: list[str] = []
+    prev_end = -1
+
+    def sep(begin: int) -> None:
+        # separator implied by the source gap between rendered parts
+        # (the gap holds consumed newlines plus any dropped markup)
+        if 0 <= prev_end < begin:
+            nl = text.count("\n", prev_end, begin)
+            if nl >= 2:
+                parts.append("\n")
+            elif nl == 1:
+                parts.append(" ")
+
     for c in by_parent.get(0, []):
         if c.type == HEADING:
+            sep(c.begin)
             parts.append("\n" + _plain(nodes, by_parent, c.id, text).strip() + "\n")
         elif c.type == TEXT:
+            sep(c.begin)
             parts.append(text[c.begin:c.end])
         elif c.type == LINK:
             args = [a for a in by_parent.get(c.id, []) if a.type == ARG]
+            sep(c.begin)
             parts.append(
                 _plain(nodes, by_parent, args[0].id, text) if args else c.name
             )
         elif c.type in (LIST_ITEM, INDENT, TERM, TABLE):
+            sep(c.begin)
             parts.append(_plain(nodes, by_parent, c.id, text) + "\n")
-    return re.sub(r"[ \t]+", " ", "".join(parts)).strip()
+        else:
+            continue
+        prev_end = c.end
+    out = re.sub(r"[ \t]+", " ", "".join(parts))
+    out = re.sub(r" ?\n ?", "\n", out)
+    return re.sub(r"\n+", "\n", out).strip()
 
 
 # ---------------------------------------------------------------------------

@@ -247,3 +247,32 @@ def test_subword_counts_spark(spark):
     got = {r["doc_id"]: (r["n_subwords"], r["n_oov"])
            for r in subword_counts(df, vocab).collect()}
     assert got == {"a": (4, 1), "b": (4, 0)}
+
+
+def test_parse_lex_malformed_pipe_degrades_to_text():
+    """A '|' with no closing ']' is malformed LEX: it must render as
+    literal text, not raise and abort the Arrow batch."""
+    from sling_spark.functions.lex import parse_lex
+
+    text, spans = parse_lex("abc|def no bracket")
+    assert text == "abc|def no bracket" and spans == []
+
+
+def test_parse_number_reference_boundary():
+    """ParseNumber accepts a bare sign/separator as 0 exactly like the
+    reference (mentions.cc:590-655) — the digit guard lives at the
+    ANNOTATOR (mentions.cc:559-568). The tokenizer makes that guard
+    structural: any token containing a digit fully matches the
+    annotator prefilter, so digit-free strings never reach the parse."""
+    import re
+
+    from sling_spark.functions.numbers import parse_number_format
+    from sling_spark.functions.tokenize import tokenize
+
+    assert parse_number_format("-") == 0
+    assert parse_number_format("+") == 0
+    assert parse_number_format(".") == 0.0
+    guard = re.compile(r"\d+(\.\d+)?\Z")
+    for tok in tokenize("x = -5 + 1,234.5 or .7; total: 2.038"):
+        if any(c.isdigit() for c in tok.word):
+            assert guard.match(tok.word), tok.word

@@ -316,3 +316,47 @@ def test_parse_sitelinks_excludes_non_language_wikis():
     })
     assert sorted((r["lang"], r["title"]) for r in rows) == [
         ("de", "Alpha"), ("en", "Alpha")]
+
+
+def test_plain_text_line_breaks_follow_reference_sink():
+    """Single source newline renders as a space, a blank line as a
+    paragraph newline (wiki-extractor.cc:366-399 Content) — consecutive
+    text lines must never fuse word-to-word."""
+    assert extract_plain_text("hello world\nsecond line") == (
+        "hello world second line")
+    assert extract_plain_text("para one.\n\npara two.") == (
+        "para one.\npara two.")
+
+
+def test_nested_template_in_name_consumed_whole():
+    """A template nested in the NAME position must not truncate the
+    outer template or leak its markup into plain text."""
+    src = "{{outer {{inner}} rest|a=b}} tail"
+    nodes = parse_wikitext(src)
+    assert extract_plain_text(src, nodes) == "tail"
+    names = [t["name"] for t in extract_templates(nodes, src)]
+    assert names == ["outer {{inner}} rest"]
+
+
+def test_nested_table_inner_close_does_not_end_outer():
+    """The inner |} closes only the inner table; the outer table's
+    remaining rows must not leak raw markup into plain text."""
+    src = ("{| class=outer\n| cell1\n{| class=inner\n| inner cell\n|}\n"
+           "|-\n| cell2\n|}\nafter")
+    plain = extract_plain_text(src)
+    assert "|" not in plain and "{" not in plain
+    assert "cell2" in plain and "after" in plain
+
+
+def test_heading_name_is_rendered_text():
+    """Heading name strips markup (links → anchor text), so the
+    headings column never carries '[[' or '|'."""
+    nodes = parse_wikitext("== [[History|Early years]] ==\ntext")
+    assert extract_headings(nodes) == [(2, "Early years")]
+
+
+def test_unclosed_markup_swallows_like_reference():
+    """Unclosed {{ / strip tags swallow to EOF — the reference stack
+    parser leaves the node open and EOF drops its children."""
+    assert extract_plain_text("before {{unclosed after\nmore") == "before"
+    assert extract_plain_text("keep <ref>never closed\ngone") == "keep"
