@@ -56,14 +56,38 @@ def item_popularity(links: DataFrame) -> DataFrame:
 
 def word_vocabulary(documents: DataFrame, min_count: int = 1) -> DataFrame:
     """Word → occurrence count over the tokenized documents table
-    (vocabulary-builder semantics: normalized words, skip punctuation)."""
+    (vocabulary-builder semantics: UTF8::Normalize'd words, skip
+    punctuation — vocabulary-builder.cc:56-64; empty normalizations
+    dropped). The corpus-sized count aggregation stays JVM-side; the
+    engine normalization (normalize_phrase, the UTF8::Normalize "lcn"
+    analog — bare lower() would diverge from fingerprint identity)
+    runs once per DISTINCT raw word, then counts re-merge — Python
+    cost is vocabulary-sized, not token-sized."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(words):
+        from ..functions.normalize import normalize_phrase
+
+        return words.map(normalize_phrase)
+
+    # no type hints: with `from __future__ import annotations` the
+    # stringified 'pd.Series' hint cannot resolve in this module's
+    # globals, so pass the return type positionally (scalar UDF)
+    norm = pandas_udf(_norm, "string")
+
     toks = documents.select(
         F.explode(F.arrays_zip("t_word", "t_fp")).alias("t")
-    ).select(F.lower(F.col("t.t_word")).alias("word"), F.col("t.t_fp").alias("fp"))
-    return (
+    ).select(F.col("t.t_word").alias("word"), F.col("t.t_fp").alias("fp"))
+    raw_counts = (
         toks.filter(F.col("fp") > 1)
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("count"))
+    )
+    return (
+        raw_counts.withColumn("word", norm(F.col("word")))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.sum("count").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
 
@@ -134,9 +158,12 @@ def invert_membership(df: DataFrame, member_col: str, groups_col: str) -> DataFr
 def best_per_group(df: DataFrame, group_cols: list[str], order_cols: list) -> DataFrame:
     """Pick the best row per group by a deterministic order
     (summary-selector shape: row_number() = 1)."""
+    rn = "__rn"
+    while rn in df.columns:  # never clobber a caller's column
+        rn += "_"
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )

@@ -34,10 +34,21 @@ def corpus_anchor_aliases(mentions: DataFrame, min_count: int = 2) -> DataFrame:
     base = mentions.filter(~F.col("anaphora") & (F.col("fp") != 0)).groupBy(
         "entity", "fp", F.col("phrase").alias("alias"), "form"
     ).agg(F.count("*").cast("int").alias("variant_count"))
+    # ONE max_by over a struct: two independent max_by calls would
+    # break a variant_count tie independently and could emit an
+    # (alias, form) pair that never co-occurred; the struct ordering
+    # key (count, alias, form) also makes ties deterministic
     per_alias = base.groupBy("entity", "fp").agg(
-        F.max_by("alias", "variant_count").alias("alias"),
-        F.max_by("form", "variant_count").alias("form"),
+        F.max_by(
+            F.struct("alias", "form"),
+            F.struct(F.col("variant_count"), F.col("alias"), F.col("form")),
+        ).alias("best"),
         F.sum("variant_count").cast("int").alias("count"),
+    ).select(
+        "entity", "fp",
+        F.col("best.alias").alias("alias"),
+        F.col("best.form").alias("form"),
+        "count",
     )
     return (
         per_alias.filter(F.col("count") >= min_count)

@@ -95,9 +95,10 @@ def document_prologue(documents: DataFrame, content_col: str = "content") -> Dat
     return documents.withColumn(content_col, prologue)
 
 
-def run_chain(df: DataFrame, chain: list[tuple[str, dict]], **tables) -> DataFrame:
+def run_chain(df: DataFrame, chain: list[tuple[str, dict]]) -> DataFrame:
     """Execute a named annotator chain (the silver.py:105-169 analog):
-    chain = [("types", {"items": items_df}), ("prune-low-score", {})]."""
+    chain = [("types", {"items": items_df}), ("prune-low-score", {})].
+    Tables/params travel INSIDE each stage's kwargs dict."""
     out = df
     for name, kwargs in chain:
         fn = ANNOTATORS[name]
@@ -136,13 +137,20 @@ TYPE_FLAGS: dict[str, int] = {
 
 
 def entity_flags(
-    items: DataFrame, type_flags: dict[str, int] | None = None, depth: int = 2
+    items: DataFrame, type_flags: dict[str, int] | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """Per-entity span-flag bitmask from the item's types plus types
     inherited through up to ``depth`` hops of P279 — the taxonomy
     classification SpanTaxonomy::Classify performs per candidate item
     (mentions.cc:330-400). Dimension-sized: two broadcast self-joins +
-    one hash agg."""
+    one hash agg. ``depth`` defaults to the SHARED taxonomy-closure
+    depth (kb.FACTS_CLOSURE_DEPTH) so the flag view and the facts view
+    traverse the same horizon."""
+    if depth is None:
+        from ..sources.kb import FACTS_CLOSURE_DEPTH
+
+        depth = FACTS_CLOSURE_DEPTH
     type_flags = type_flags or TYPE_FLAGS
     base = items.select("id", F.explode("types").alias("t"))
     p279 = (

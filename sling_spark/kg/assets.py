@@ -137,7 +137,7 @@ def asset_dataframes(
         "phrase_table": build_phrase_table(selected),
         "links": links_from_items(seed["items"]),
         "popularity": popularity_from_aliases(seed["aliases"]),
-        "facts": facts_df(spark, seed["items"]),
+        "facts": facts_df(seed["items"]),
         "gender": gender_from_items(seed["items"]),
     }
 

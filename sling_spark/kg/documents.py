@@ -125,9 +125,7 @@ def build_documents(corpus: DataFrame, layout: str = "content") -> DataFrame:
       for consumers that need materialized tokens (vocabulary, biaffine,
       diagnostics).
     """
-    latest = latest_versions(corpus).withColumn(
-        "content_sha", F.sha2(F.col("content"), 256)
-    )
+    latest = latest_with_sha(corpus)
     with_tokens = layout == "tokens"
     base_cols = ["repo", "path", "commit", "lang", "content_sha",
                  "n_tokens", "fp_unique"]

@@ -27,10 +27,14 @@ def write_triples(triples: DataFrame, path: str, n_buckets: int = 64) -> None:
     bucketed = triples.withColumn(
         "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
     )
+    # subj_bucket must be in partitionBy, not just repartition: only a
+    # directory column gives the documented "subject-keyed read prunes
+    # to one bucket" — hash-shuffling alone leaves every file spanning
+    # many bucket values, so a subj_bucket = N filter skips nothing
     (
         bucketed.repartition("source", "subj_bucket")
         .write.mode("overwrite")
-        .partitionBy("source")
+        .partitionBy("source", "subj_bucket")
         .parquet(path)
     )
 

@@ -35,7 +35,7 @@ TRIPLES_SCHEMA = (
 _SENTENCE_KEY = ["repo", "path", "commit", "content_sha", "sentence"]
 
 
-def facts_df(spark, items: DataFrame) -> DataFrame:
+def facts_df(items: DataFrame) -> DataFrame:
     """Facts::Extract as a DataFrame plan (facts.h:30-90): direct item
     statements UNION statements inherited through up to
     FACTS_CLOSURE_DEPTH hops of P279 (taxonomy traversal), blocked
@@ -79,10 +79,14 @@ def facts_df(spark, items: DataFrame) -> DataFrame:
     return out.distinct()
 
 
+_PRIO = {p: i for i, p in enumerate(PROPERTY_PRIORITY)}  # hoisted: built
+# once per worker import, not once per applyInPandas sentence group
+
+
 def _solve_sentence(pdf: pd.DataFrame) -> pd.DataFrame:
     """Apply ordering/priority/closest/one-per-target constraints for one
     sentence's candidate (subject-span, fact, object-span) rows."""
-    prio = {p: i for i, p in enumerate(PROPERTY_PRIORITY)}
+    prio = _PRIO
     rows = pdf.to_dict("records")
     # subjects in span order
     subjects: dict[tuple[int, int], list[dict]] = {}

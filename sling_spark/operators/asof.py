@@ -52,13 +52,20 @@ def merge_asof_join(
     """General as-of join per key group via pandas.merge_asof."""
     l_cols = left.columns
     r_cols = [c for c in right.columns if c not in (key, time_col)]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
-    ) + ", " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in right.schema.fields
-        if f.name in r_cols
-    )
+    overlap = sorted(set(l_cols) & set(r_cols))
+    if overlap:
+        # pandas.merge_asof would _x/_y-suffix these and the projection
+        # below would KeyError per group — fail loudly up front instead
+        raise ValueError(
+            f"merge_asof_join: right payload columns {overlap} collide "
+            "with left columns; rename them before joining"
+        )
+    # single filtered field list: a payload-less right table must not
+    # leave a dangling ', ' in the DDL string
+    fields = list(left.schema.fields) + [
+        f for f in right.schema.fields if f.name in r_cols
+    ]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
 
     lt = left.withColumn("__side", F.lit(0))
     rt = right.withColumn("__side", F.lit(1))

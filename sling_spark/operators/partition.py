@@ -58,7 +58,12 @@ def salt_heavy_keys(df: DataFrame, key: str, heavy: DataFrame,
     known-hot keys, e.g. mega-repos) get a composite key spreading them
     over ``salt_buckets`` partitions; the join/agg then runs on the
     salted key and re-merges. AQE skew-join handles the residual."""
-    heavy_marked = heavy.select(F.col(key).alias(key), F.lit(True).alias("__is_heavy"))
+    # distinct BEFORE the left join: a heavy table with a repeated key
+    # (e.g. two concatenated skew reports) would otherwise fan out and
+    # double-count every row of exactly the hottest keys
+    heavy_marked = (
+        heavy.select(F.col(key)).distinct().withColumn("__is_heavy", F.lit(True))
+    )
     out = df.join(F.broadcast(heavy_marked), on=key, how="left")
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     return out.withColumn(

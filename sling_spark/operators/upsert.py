@@ -39,10 +39,22 @@ def apply_cdc(
     changes: DataFrame,
     keys: list[str],
     op_col: str = "op",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Apply a change feed with insert/update/delete ops (op column:
-    'I'|'U'|'D'): deletes drop keys, upserts apply the rest."""
+    'I'|'U'|'D'): deletes drop keys, upserts apply the rest.
+
+    A feed can carry several ops for one key in one batch. With
+    ``seq_col`` the feed is first reduced to each key's LATEST op, so
+    update-then-delete deletes and delete-then-update re-inserts — pass
+    it whenever the feed has in-batch ordering. Without it the batch is
+    an unordered op SET: delete keys drop first, then every non-delete
+    row (re-)upserts, so an update and a delete on the same key leaves
+    the update in place."""
+    if seq_col is not None:
+        changes = latest_wins(changes, keys, seq_col)
     deletes = changes.filter(F.col(op_col) == "D").select(*keys).distinct()
-    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    drop_cols = [op_col] + ([seq_col] if seq_col is not None else [])
+    upserts = changes.filter(F.col(op_col) != "D").drop(*drop_cols)
     kept = target.join(deletes, on=keys, how="left_anti")
     return upsert(kept, upserts, keys)

@@ -54,14 +54,18 @@ def phrase_lookup(spark: SparkSession, phrase: str) -> DataFrame:
 
 def name_search(spark: SparkSession, prefix: str, limit: int = 10) -> DataFrame:
     """Prefix search over the sorted name table (name-table-builder
-    serving path)."""
-    return spark.sql(
-        """
-        SELECT name, explode(entries) AS e FROM name_table
-        WHERE name LIKE ? ORDER BY name LIMIT ?
-        """,
-        args=[prefix.lower() + "%", limit],
-    ).select("name", F.col("e.entity").alias("entity"), F.col("e.count").alias("count"))
+    serving path). The prefix is matched LITERALLY — startswith, not
+    LIKE — so '%' and '_' in a user query are characters, not SQL
+    wildcards ('_' must not match every single-char name)."""
+    return (
+        spark.table("name_table")
+        .filter(F.col("name").startswith(prefix.lower()))
+        .select("name", F.explode("entries").alias("e"))
+        .orderBy("name")
+        .limit(limit)
+        .select("name", F.col("e.entity").alias("entity"),
+                F.col("e.count").alias("count"))
+    )
 
 
 def subject_triples_sql(spark: SparkSession) -> DataFrame:
@@ -134,10 +138,18 @@ def term_search(spark: SparkSession, query: str, limit: int = 10) -> DataFrame:
     across the query's terms — intersect each term's posting list,
     ranked by how few items share the rarest term (specificity). Expects
     a ``search_index`` view (term, n_items, postings)."""
+    import re
+
+    # tokenize with the SAME rule as the index builder (lowercase
+    # alphanumeric runs, kg/aggregates.py search_index) — splitting on
+    # whitespace would leave 'scikit-learn' as one un-indexed term and
+    # the AND would return nothing for an indexed entity.
     # dedupe (order-preserving): `term IN (...)` matches each index row
     # once regardless of query duplicates, so the AND is over DISTINCT
     # terms — a repeated word must not raise the HAVING count (ADVICE r02)
-    terms = list(dict.fromkeys(t for t in query.lower().split() if t))
+    terms = list(dict.fromkeys(
+        t for t in re.split(r"[^a-z0-9]+", query.lower()) if t
+    ))
     if not terms:
         return spark.sql("SELECT NULL AS entity WHERE FALSE")
     marks = ", ".join("?" for _ in terms)

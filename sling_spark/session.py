@@ -36,8 +36,13 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         if master.startswith("local["):
-            inner = master[len("local[") : -1]
-            shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
+            # local[N], local[*], and local[N,maxFailures] are all
+            # valid master forms — parse only the thread component
+            inner = master[len("local[") : -1].split(",")[0].strip()
+            if inner == "*":
+                shuffle_partitions = os.cpu_count() or 8
+            else:
+                shuffle_partitions = int(inner)
         else:
             shuffle_partitions = 200
 

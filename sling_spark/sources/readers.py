@@ -53,11 +53,14 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_text_map(spark: SparkSession, path: str) -> DataFrame:
-    """TSV key→value (text-map-reader analog)."""
+    """TSV key→value (text-map-reader analog). Quote handling is OFF
+    (a leading '\"' is data, not CSV quoting) and the two-column schema
+    is explicit so a tab-less first line cannot skew inference."""
     return (
         spark.read.option("sep", "\t")
+        .option("quote", "")
+        .schema("key string, value string")
         .csv(path)
-        .toDF("key", "value")
     )
 
 
@@ -122,19 +125,23 @@ def parse_warc_records(data: bytes):
     import zlib
 
     if data[:2] == b"\x1f\x8b":  # gzip multistream: one member per record
+        # member-by-member via decompressobj: a corrupt member (or
+        # trailing garbage) loses only ITSELF — GzipFile.read() would
+        # decompress all members in one call and discard everything on
+        # the first error (per-member tolerance must hold per record)
         out = io.BytesIO()
-        with io.BytesIO(data) as raw:
-            while True:
-                start = raw.tell()
-                if start >= len(data):
-                    break
-                try:
-                    with gzip.GzipFile(fileobj=raw) as gz:
-                        out.write(gz.read())
-                except (OSError, EOFError, zlib.error):
-                    break
-                if raw.tell() == start:
-                    break
+        buf = data
+        while buf[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            try:
+                out.write(d.decompress(buf))
+            except zlib.error:
+                break  # corrupt member: keep the records already out
+            if not d.eof:
+                break  # truncated final member
+            if len(d.unused_data) >= len(buf):
+                break  # no progress — defensive
+            buf = d.unused_data
         data = out.getvalue()
 
     pos, n = 0, len(data)

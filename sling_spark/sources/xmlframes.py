@@ -79,13 +79,17 @@ def parse_xml_frame(text: str) -> tuple[str, object]:
             slots[-1][1] = frame
 
     def chardata(data):
-        if not data.strip():
-            return
-        # adjacent expat chunks merge into one text slot
+        # merge BEFORE the whitespace skip: expat delivers character
+        # references and CDATA boundaries as separate chunks, so a
+        # whitespace chunk inside an open text run ('hello&#32;world')
+        # is real text — only inter-element whitespace (no run open)
+        # is layout and skipped
         if slots and slots[-1][0] is IS:
             slots[-1][1] += data
-        else:
-            slots.append([IS, data])
+            return
+        if not data.strip():
+            return
+        slots.append([IS, data])
 
     p = xml.parsers.expat.ParserCreate()
     p.StartElementHandler = start

@@ -75,8 +75,15 @@ def session_aggregate(
 
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event dedup on event_id within the watermark horizon
-    (idempotent replay — the serial/LWW analog)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    (idempotent replay — the serial/LWW analog).
+
+    dropDuplicatesWithinWatermark, NOT dropDuplicates: with a subset
+    that excludes the event-time column, plain dropDuplicates never
+    evicts its state (every event_id ever seen is pinned forever);
+    the WithinWatermark variant expires state at the horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_available_now(

@@ -134,9 +134,15 @@ def pipe_read(spark: SparkSession, commands: str | list[str],
     fails the task loudly (the reference only logs — silent partial
     ingest does not survive at scale)."""
     cmds = [commands] if isinstance(commands, str) else list(commands)
+    if not cmds:
+        return spark.createDataFrame([], "command string, line string")
+    # parallelize with numSlices=len(cmds) puts EXACTLY one command per
+    # partition/task — repartition() is round-robin with a random start
+    # offset, which can stack two heavy pipes into one task
     seed = spark.createDataFrame(
-        [(c,) for c in cmds], "command string"
-    ).repartition(len(cmds))
+        spark.sparkContext.parallelize([(c,) for c in cmds], len(cmds)),
+        "command string",
+    )
 
     def run(batches):
         import subprocess

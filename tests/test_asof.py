@@ -56,3 +56,26 @@ def test_merge_asof_equals_window_asof(spark):
         assert m[eid] == want, eid
         checked += 1
     assert checked > 100
+
+
+def test_merge_asof_payload_less_right_and_collision_guard(spark):
+    """A right table with no payload columns beyond (key, time) must
+    produce a valid schema (no dangling comma); overlapping payload
+    names fail loudly instead of KeyError-ing inside the UDF."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("u1", 5, "a"), ("u1", 9, "b")], "user_id string, epoch long, ev string"
+    )
+    right_bare = spark.createDataFrame(
+        [("u1", 4)], "user_id string, epoch long"
+    )
+    out = merge_asof_join(left, right_bare, key="user_id", time_col="epoch")
+    assert out.columns == ["user_id", "epoch", "ev"]
+    assert out.count() == 2
+
+    right_clash = spark.createDataFrame(
+        [("u1", 4, "x")], "user_id string, epoch long, ev string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        merge_asof_join(left, right_clash, key="user_id", time_col="epoch")

@@ -47,7 +47,7 @@ def stages(spark):
     annotations = annotate(documents, assets_bc).persist()
     mentions = mentions_of(annotations)
     relations = relations_of(annotations)
-    relations_join = extract_relations(mentions, facts_df(spark, seed["items"]))
+    relations_join = extract_relations(mentions, facts_df(seed["items"]))
     return {
         "seed": seed,
         "documents": documents,
@@ -125,7 +125,7 @@ def test_facts_closure_matches_lookup(spark, stages):
 
     got = {
         (r["subj"], r["pid"], r["obj"])
-        for r in facts_df(spark, stages["seed"]["items"]).collect()
+        for r in facts_df(stages["seed"]["items"]).collect()
     }
     want = {
         (subj, pid, obj)
@@ -674,3 +674,21 @@ def test_generate_transitions_rejects_overlap():
     # touching spans are fine
     acts = generate_transitions([(0, 2, "Q1"), (2, 4, "Q2")], {}, 4)
     assert [a[0] for a in acts].count("EVOKE") == 2
+
+
+def test_word_vocabulary_uses_engine_normalization(spark):
+    """vocabulary-builder.cc:56-64 counts UTF8::Normalize'd words: two
+    spellings that normalize_phrase folds together ('Café'/'cafe',
+    "O'Neill"/'oneill') must merge into ONE vocabulary row, keyed by
+    the same string the fingerprints use — bare lower() would not.
+    (The code-corpus tokenizer emits ASCII identifier tokens, where the
+    two coincide; the operator contract covers ANY tokenized table, so
+    the fixture hand-builds Unicode token rows.)"""
+    from sling_spark.kg.aggregates import word_vocabulary
+
+    docs = spark.createDataFrame(
+        [(["Café", "cafe", "O'Neill", "café", "x"], [11, 11, 12, 11, 13])],
+        "t_word array<string>, t_fp array<long>",
+    )
+    vocab = {r["word"]: r["count"] for r in word_vocabulary(docs).collect()}
+    assert vocab == {"cafe": 3, "oneill": 1, "x": 1}

@@ -855,3 +855,72 @@ def test_jaccard_all_stop_docs_still_pair(spark):
     }
     assert out[(1, 2)] == 1.0       # all-stop pair kept, not dropped
     assert out[(100, 101)] == 1.0   # normal exact dup unaffected
+
+
+def test_apply_cdc_seq_col_orders_ops_within_batch(spark):
+    """With seq_col, update-then-delete deletes and delete-then-update
+    re-inserts; without it the batch is an unordered op set (documented:
+    upserts win) — the contract query pins the latter."""
+    from sling_spark.operators.upsert import apply_cdc
+
+    target = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int")
+    feed = spark.createDataFrame(
+        [("k1", 10, "U", 1), ("k1", None, "D", 2),   # U then D -> gone
+         ("k2", None, "D", 1), ("k2", 20, "U", 2)],  # D then U -> v=20
+        "k string, v int, op string, seq int",
+    )
+    got = {(r["k"], r["v"])
+           for r in apply_cdc(target, feed, ["k"], seq_col="seq").collect()}
+    assert got == {("k2", 20)}
+    # unordered-set semantics unchanged (upsert survives the delete)
+    loose = {(r["k"], r["v"])
+             for r in apply_cdc(target, feed.drop("seq"), ["k"]).collect()}
+    assert ("k1", 10) in loose and ("k2", 20) in loose
+
+
+def test_salt_heavy_keys_duplicate_heavy_rows_no_fanout(spark):
+    """A heavy table listing the same hot key twice (two concatenated
+    skew reports) must not duplicate the matching data rows."""
+    from sling_spark.operators.partition import salt_heavy_keys
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(8)] + [("cold", 0)], "k string, v int"
+    )
+    heavy = spark.createDataFrame([("hot",), ("hot",)], "k string")
+    out = salt_heavy_keys(df, "k", heavy, salt_buckets=4)
+    assert out.count() == 9
+    assert out.filter("k = 'hot'").count() == 8
+
+
+def test_read_text_map_quotes_and_tabless_lines(spark, tmp_path):
+    """TSV values are raw text: a leading double quote is data (CSV
+    quote handling off) and a tab-less line yields (key, NULL) instead
+    of skewing schema inference."""
+    from sling_spark.sources.readers import read_text_map
+
+    m = tmp_path / "quoted.tsv"
+    m.write_text('justakey\nk1\t"a,b"\nk2\tplain\n')
+    rows = {r["key"]: r["value"] for r in read_text_map(spark, str(m)).collect()}
+    assert rows == {"justakey": None, "k1": '"a,b"', "k2": "plain"}
+
+
+def test_write_triples_bucket_directory_pruning(spark, tmp_path):
+    """subj_bucket is a directory partition column: a subject-keyed
+    read with subj_bucket = N must prune to one bucket directory
+    (partition pruning visible as partitionFilters in the scan)."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.materialize import write_triples
+
+    triples = spark.createDataFrame(
+        [(f"Q{i}", "P1", f"Q{i+1}", "corpus") for i in range(50)],
+        "subj string, pred string, obj string, source string",
+    )
+    out = str(tmp_path / "triples")
+    write_triples(triples, out, n_buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    bucket = back.filter(F.col("subj") == "Q7").select("subj_bucket").first()[0]
+    pruned = back.filter(F.col("subj_bucket") == bucket)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "subj_bucket" in plan.split("PartitionFilters")[1][:200]

@@ -80,7 +80,7 @@ def test_relations_uses_broadcast_facts(spark):
         "sentence int, begin int, end int, phrase string, fp long, "
         "entity string, score double, form int, anaphora boolean",
     )
-    rel = extract_relations(mentions, facts_df(spark, seed["items"]))
+    rel = extract_relations(mentions, facts_df(seed["items"]))
     assert_broadcast_join(rel)
 
 

@@ -513,3 +513,38 @@ def test_transition_roundtrip_property(doc):
     got_assigns = {(out["frames"][f], r, v) for f, r, v in out["assigns"]}
     assert got_edges == exp_edges
     assert got_assigns == exp_assigns
+
+
+def test_warc_corrupt_gzip_member_keeps_prior_records():
+    """Per-member gzip tolerance must be real: two intact per-record
+    members followed by a corrupt member (or trailing garbage) keep the
+    two intact records — GzipFile.read()-style whole-stream
+    decompression would silently lose the entire archive."""
+    import gzip
+
+    from sling_spark.sources.readers import parse_warc_records
+
+    def rec(i, body):
+        return (
+            b"WARC/1.0\r\nWARC-Record-ID: <r" + str(i).encode() + b">\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+
+    good = gzip.compress(rec(0, b"alpha")) + gzip.compress(rec(1, b"beta"))
+    corrupt = bytearray(gzip.compress(rec(2, b"gamma")))
+    corrupt[12] ^= 0xFF  # flip a deflate-stream byte mid-member
+    got = list(parse_warc_records(good + bytes(corrupt)))
+    assert [p for _h, p in got[:2]] == [b"alpha", b"beta"]
+    got_trailing = list(parse_warc_records(good + b"not gzip at all"))
+    assert [p for _h, p in got_trailing] == [b"alpha", b"beta"]
+
+
+def test_xml_charref_whitespace_not_dropped():
+    """expat delivers '&#32;'/'&#10;' as separate whitespace chunks;
+    they must merge into the open text run, not vanish (word fusion)."""
+    from sling_spark.sources.xmlframes import parse_xml_frame
+
+    assert parse_xml_frame("<a>hello&#32;world</a>") == ("a", "hello world")
+    assert parse_xml_frame("<a>hello&#10;world</a>") == ("a", "hello\nworld")
+    assert parse_xml_frame("<a>hello\nworld</a>") == ("a", "hello\nworld")

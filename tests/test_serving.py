@@ -77,3 +77,38 @@ def test_term_search(spark):
     once = {r["entity"] for r in term_search(spark, "apache spark").collect()}
     dup = {r["entity"] for r in term_search(spark, "apache spark spark").collect()}
     assert dup == once and "Q1" in dup
+
+
+def test_term_search_tokenizes_like_the_index(spark):
+    """The query is split with the index builder's [^a-z0-9]+ rule, so
+    punctuated queries ('apache-spark', 'apache/spark?') match the
+    indexed alphanumeric-run terms instead of AND-ing to nothing."""
+    from sling_spark.kg.aggregates import search_index
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.serving import register_views, term_search
+
+    seed = seed_dataframes(spark)
+    register_views(
+        spark, {"search_index": search_index(seed["aliases"], seed["items"])}
+    )
+    plain = {r["entity"] for r in term_search(spark, "apache spark").collect()}
+    assert plain  # sanity: the two-term AND has hits
+    for q in ("apache-spark", "apache/spark?", "Apache, Spark."):
+        got = {r["entity"] for r in term_search(spark, q).collect()}
+        assert got == plain, q
+
+
+def test_name_search_prefix_is_literal(spark):
+    """'_' and '%' in the prefix are characters, not SQL wildcards: a
+    bare '_' must not return every name in the table."""
+    from sling_spark.kg.assets import seed_dataframes
+    from sling_spark.kg.phrase_table import build_name_table, select_aliases
+    from sling_spark import serving
+
+    seed = seed_dataframes(spark)
+    nt = build_name_table(select_aliases(seed["aliases"]))
+    serving.register_views(spark, {"name_table": nt})
+    assert serving.name_search(spark, "_", limit=100).count() == 0
+    assert serving.name_search(spark, "%", limit=100).count() == 0
+    # normal prefixes unchanged
+    assert serving.name_search(spark, "apache s").count() >= 1

@@ -155,3 +155,24 @@ def test_streaming_with_asset_store(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
     docs.unpersist()
     stats.unpersist()
+
+
+def test_dedup_stream_drops_duplicate_event_ids(spark, tmp_path):
+    """dedup_stream keeps one row per event_id inside the watermark
+    horizon, via dropDuplicatesWithinWatermark (bounded state: plain
+    dropDuplicates on a subset without the event-time column would pin
+    every id ever seen in the state store forever)."""
+    from sling_spark.streaming.events import dedup_stream, run_available_now
+
+    src = tmp_path / "events_in"
+    spark.createDataFrame(
+        [("e1", 100, 1.0), ("e1", 101, 1.0), ("e2", 102, 2.0)],
+        "event_id string, epoch long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch"))).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id string, epoch long, value double, ts timestamp"
+    ).parquet(str(src))
+    deduped = dedup_stream(stream, watermark="10 minutes")
+    run_available_now(deduped, "dedup_q", str(tmp_path / "ckpt"))
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_q").collect())
+    assert got == ["e1", "e2"]
