@@ -84,12 +84,18 @@ def seed_dataframes(spark: SparkSession) -> dict[str, DataFrame]:
 
 def links_from_items(items: DataFrame) -> DataFrame:
     """Outbound link graph derived from item statements (resolver
-    context input, resolver.cc:31-55): subject→object weight 8 per
+    context input, resolver.cc:31-55): subject→ITEM-object weight 8 per
     statement, plus a reverse developer→project edge (P3) weight 4.
-    Row multiplicity is preserved (the resolver sums contributions)."""
+    Row multiplicity is preserved (the resolver sums contributions).
+    Literal objects (dates/numbers) are excluded — the reference's
+    target.IsRef() test: literal keys can never match a phrase-table
+    candidate, they only bloat the broadcast dict and the per-mention
+    context updates (lock-step with kb.links_rows)."""
+    from ..sources.kb import ITEM_REF_RE
+
     st = items.select(F.col("id"), F.explode("statements").alias("st")).select(
         "id", F.col("st.pid").alias("pid"), F.col("st.object").alias("object")
-    )
+    ).filter(F.col("object").rlike(ITEM_REF_RE))
     fwd = st.select(
         F.col("id").alias("src"), F.col("object").alias("dst"), F.lit(8).alias("count")
     )

@@ -115,7 +115,9 @@ class BiaffineScorer:
 
 def sentence_bounds(brks: list[int]) -> list[tuple[int, int]]:
     """[start, end) sentence windows from token break levels (brk >= 2
-    opens a sentence) — shared by the decoder-analog Spark ops."""
+    opens a sentence) — shared by the decoder-analog Spark ops.
+    mentions._sentence_bounds is the NumPy twin for the chart hot path;
+    a property test pins them equal — change both together."""
     bounds, start = [], 0
     for i in range(1, len(brks)):
         if brks[i] >= 2:

@@ -100,6 +100,9 @@ class KbAssets:
 
 
 def _sentence_bounds(brks) -> list[tuple[int, int]]:
+    # NumPy twin of biaffine.sentence_bounds (brk >= 2 opens a
+    # sentence); tests pin the two equal on arbitrary break sequences —
+    # change BOTH or the chart and the decoders disagree on windows
     n = len(brks)
     if n == 0:
         return []
@@ -230,6 +233,12 @@ def _scan_abbreviations(
         i = b
         while l >= 0 and i >= sb:
             w = words[i]
+            # initial match is tried BEFORE the skip-word check, exactly
+            # like the reference (mentions.cc:1138-1150) — so a skip
+            # word CAN consume a needed initial ("of" matching the 'O'
+            # of OPEC stops the walk there and the phrase begins at
+            # "of", not "Organization"); this greedy order is the
+            # reference's own behavior, kept for parity
             if w and w[0].upper() == letters[l]:
                 l -= 1
                 i -= 1

@@ -44,8 +44,12 @@ from .relations import doc_triples
 from .xref import build_clusters, canonicalize
 
 
-def _materialize(df: DataFrame, spark: SparkSession, path: str | None, name: str):
+def _materialize(df, spark: SparkSession, path: str | None, name: str):
     """Write-once / read-back checkpoint. No path → pass through.
+    ``df`` may be a DataFrame or a ZERO-ARG CALLABLE producing one —
+    pass a thunk for stages whose construction itself runs Spark
+    actions (build_clusters runs the CC/union-find eagerly), so a
+    resume that finds the checkpoint never recomputes them.
 
     The ``_SUCCESS`` probe goes through the Hadoop FS API, not
     ``os.path.exists`` — the checkpoint dir may live on s3://, hdfs://,
@@ -53,14 +57,15 @@ def _materialize(df: DataFrame, spark: SparkSession, path: str | None, name: str
     stage of a killed run would silently recompute instead of resuming
     (the delta-state pointer learned the same lesson, kg/delta.py)."""
     if path is None:
-        return df
+        return df() if callable(df) else df
     target = path.rstrip("/") + "/" + name
     from .delta import _hadoop_fs
 
     fs, _, jvm = _hadoop_fs(spark, target)
     success = jvm.org.apache.hadoop.fs.Path(target + "/_SUCCESS")
     if not fs.exists(success):
-        df.write.mode("overwrite").parquet(target)
+        out = df() if callable(df) else df
+        out.write.mode("overwrite").parquet(target)
     return spark.read.parquet(target)
 
 
@@ -102,7 +107,8 @@ def run_pipeline(
 
     def _kb_branch():
         clusters = _materialize(
-            build_clusters(seed["same_as"]), spark, checkpoint_dir, "clusters"
+            lambda: build_clusters(seed["same_as"]), spark, checkpoint_dir,
+            "clusters",
         )
         if checkpoint_dir is None:
             clusters = clusters.persist()

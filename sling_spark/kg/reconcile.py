@@ -39,9 +39,7 @@ _DATE_RE = re.compile(r"^\d{4}(-\d{2})?(-\d{2})?$")
 #: statement objects that are ITEM REFERENCES (inversion targets): main
 #: Q-ids or alt ids in a known namespace — literals (dates, numbers,
 #: free text) are never inverted (reconciler.cc:157 `!target.IsRef()`).
-_ITEM_REF_RE = "^(Q[0-9]+$|(" + "|".join(
-    ns for ns in sorted(kb.NAMESPACE_PRIORITY) if ns != "Q"
-) + "):)"
+_ITEM_REF_RE = kb.ITEM_REF_RE  # shared item-reference test (kb.py)
 
 
 def invert_statements(items: DataFrame) -> DataFrame:
@@ -90,6 +88,12 @@ def invert_statements(items: DataFrame) -> DataFrame:
     )
     inv = (
         flat.join(F.broadcast(inv_df), on="pid")
+        # raw-id self/literal guard; the post-canonicalization self case
+        # (same-as fuses subj and object) is dropped in _merge_group.
+        # No rank filter here, matching the reference: inversion runs
+        # over the raw frame (reconciler.cc:152-206) and the inverse of
+        # a deprecated-rank statement survives un-deprecated — only the
+        # FORWARD statement is dropped, at merge (reconciler.cc:419-426)
         .filter(F.col("object").rlike(_ITEM_REF_RE) & (F.col("object") != F.col("subj")))
     )
     qualified = F.size("qualifiers") > 0
@@ -232,6 +236,16 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if quals.get("rank") == "deprecated":
             continue  # drop deprecated-rank statements
         obj = r.object
+        # drop inverse fragments that became self-relations AFTER
+        # canonicalization (same-as cluster maps subj and object to one
+        # id): the reference skips these at inversion, where ids are
+        # already mapped by the commons store (reconciler.cc:158-162 —
+        # FrameId(target) is empty for the id-stripped self frame).
+        # Forward self-statements pass through, as in the reference
+        # merger. The raw-id guard in invert_statements catches only
+        # pre-cluster self-references.
+        if obj == cid and "#inv:" in r.orig_id:
+            continue
         same = find_same(r.pid, obj)
         if same is not None:
             # qualifier-compatibility merge: qualified wins over bare
@@ -240,10 +254,15 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
             continue
         twin = find_date_twin(r.pid, obj)
         if twin is not None:
-            # keep the most precise date (longest string)
+            # keep the most precise date WHOLESALE — object and its
+            # qualifiers together (ReconcileDates keeps the winner
+            # SLOT and prunes the less precise one, reconciler.cc:
+            # 568-623; splicing only the object would strand the
+            # imprecise statement's qualifiers on the precise value)
             if len(obj) > len(twin["object"]):
                 del by_key[(r.pid, twin["object"])]
                 twin["object"] = obj
+                twin["qualifiers"] = quals
                 by_key[(r.pid, obj)] = twin
             continue
         st = {"pid": r.pid, "object": obj, "qualifiers": quals}

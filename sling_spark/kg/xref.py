@@ -298,14 +298,18 @@ def build_clusters(
     pure scheduling overhead). Larger sets take the distributed path:
     min-label CC + per-conflicted-component repair — result-identical,
     proven by tests that run both."""
-    edges = normalized_edges(same_as).persist()
+    # localCheckpoint, not persist+unpersist: the returned plans are
+    # LAZY — an unpersist() at plan-build time would evict the cache
+    # before the caller ever materializes them, recomputing the
+    # normalize+distinct shuffle; the checkpoint materializes edges
+    # once and truncates lineage for the whole lifetime of the result
+    edges = normalized_edges(same_as).localCheckpoint()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         rows, conflicts = _sequential_union(
             [(r["a"], r["b"]) for r in edges.collect()]
         )
         spark = same_as.sparkSession
-        edges.unpersist()
         clusters = spark.createDataFrame(rows, schema=CLUSTERS_SCHEMA)
         if return_conflicts:
             return clusters, spark.createDataFrame(conflicts, schema=CONFLICTS_SCHEMA)
@@ -346,6 +350,10 @@ def build_clusters(
         edges.join(labels.withColumnRenamed("id", "a"), on="a")
         .join(conflicted, on="component", how="left_semi")
     )
+    if return_conflicts:
+        # both per-component passes read comp_edges — checkpoint the
+        # (conflicted-component-sized) input so the join work runs once
+        comp_edges = comp_edges.localCheckpoint()
     repaired = comp_edges.groupBy("component").applyInPandas(
         _resolve_component, schema=CLUSTERS_SCHEMA
     )
@@ -354,9 +362,7 @@ def build_clusters(
         conflicts = comp_edges.groupBy("component").applyInPandas(
             _component_conflicts, schema=CONFLICTS_SCHEMA
         )
-        edges.unpersist()
         return out, conflicts
-    edges.unpersist()
     return out
 
 

@@ -790,6 +790,12 @@ def merge_items(
                 if quals.get("rank") == "deprecated":
                     continue
                 obj = canonical(st["object"], clusters)
+                # post-canonicalization self-relation: inverse fragments
+                # whose target fused into the subject's own cluster are
+                # dropped (reconciler.cc:158-162; lock-step with
+                # reconcile._merge_group)
+                if obj == cid and "#inv:" in (it.get("orig_id") or ""):
+                    continue
                 same = next(
                     (m for m in merged if m["pid"] == st["pid"] and m["object"] == obj),
                     None,
@@ -810,8 +816,11 @@ def merge_items(
                             twin = m
                             break
                 if twin is not None:
+                    # precise date wins WHOLESALE, qualifiers included
+                    # (lock-step with reconcile._merge_group)
                     if len(obj) > len(twin["object"]):
                         twin["object"] = obj
+                        twin["qualifiers"] = quals
                     continue
                 merged.append({"pid": st["pid"], "object": obj, "qualifiers": quals})
         merged_items.append(

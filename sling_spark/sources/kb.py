@@ -98,6 +98,13 @@ NAMESPACE_PRIORITY: dict[str, int] = {
 }
 CASELESS_NAMESPACES: set[str] = {"github", "pypi", "maven", "npm"}  # lowercased on ingest
 
+#: matches entity REFERENCES (QIDs / namespaced ids) as opposed to
+#: literal statement values (dates, numbers) — the reference's
+#: target.IsRef() test (reconciler.cc:159-161)
+ITEM_REF_RE = "^(Q[0-9]+$|(" + "|".join(
+    ns for ns in sorted(NAMESPACE_PRIORITY) if ns != "Q"
+) + "):)"
+
 # --- entity catalog --------------------------------------------------------
 # (id, name, types, aliases[(text, count)], statements[(pid, obj)],
 #  alt_ids[(namespace, key)])
@@ -395,11 +402,20 @@ def same_as_edges() -> list[dict]:
 
 def links_rows() -> list[dict]:
     """Outbound link graph (resolver context input, resolver.cc:31-55).
-    Derived from KB statements: subject links to every statement object,
-    weight = 8; plus org->project links weight 4."""
+    Derived from KB statements: subject links to every ITEM-valued
+    statement object, weight = 8; plus org->project links weight 4.
+    Literal objects (dates, numbers) are excluded: the resolver's
+    context keys are entity ids — literal mentions bypass context
+    scoring entirely (mentions.py literal branch), so literal keys
+    would only bloat the broadcast dict and the per-document context
+    updates without ever matching a candidate."""
+    import re
+
     rows: list[dict] = []
     for qid, _name, _types, _aliases, stmts, _alt in _E:
         for pid, obj in stmts:
+            if not re.match(ITEM_REF_RE, obj):
+                continue
             rows.append({"src": qid, "dst": obj, "count": 8})
             if pid == "P3":
                 rows.append({"src": obj, "dst": qid, "count": 4})

@@ -692,3 +692,86 @@ def test_word_vocabulary_uses_engine_normalization(spark):
     )
     vocab = {r["word"]: r["count"] for r in word_vocabulary(docs).collect()}
     assert vocab == {"cafe": 3, "oneill": 1, "x": 1}
+
+
+def test_inverse_self_loop_dropped_post_canonicalization(spark):
+    """An inversion-property statement pointing into the subject's OWN
+    same-as cluster must not become a self-loop after canonicalization
+    (reconciler.cc:158-162 skips self-relations on already-mapped ids);
+    a forward self-statement passes through, as in the reference
+    merger. Spark path and oracle twin must agree."""
+    from sling_spark.kg.reconcile import (
+        invert_statements, merge_items, reconcile_items,
+    )
+    from sling_spark.oracle import kg_oracle
+
+    items = spark.createDataFrame(
+        [("Q1", "Spark", ["framework"],
+          [{"pid": "P1", "object": "github:a/b", "qualifiers": {}}], 0)],
+        "id string, name string, types array<string>, "
+        "statements array<struct<pid string, object string, "
+        "qualifiers map<string,string>>>, source_priority int",
+    )
+    clusters = spark.createDataFrame(
+        [("github:a/b", "Q1")], "member_id string, canonical_id string"
+    )
+    all_items = items.unionByName(
+        invert_statements(items), allowMissingColumns=True
+    )
+    merged = merge_items(reconcile_items(all_items, clusters)).collect()
+    assert len(merged) == 1
+    stmts = [(s["pid"], s["object"]) for s in merged[0]["statements"]]
+    # forward statement canonicalizes to (P1, Q1) and stays; the
+    # P101 inverse fragment (raw target github:a/b -> canonical Q1)
+    # must be dropped as a post-canonicalization self-relation
+    assert ("P1", "Q1") in stmts
+    assert ("P101", "Q1") not in stmts
+
+    sources = [{"id": "Q1", "name": "Spark", "types": ["framework"],
+                "statements": [{"pid": "P1", "object": "github:a/b",
+                                "qualifiers": {}}],
+                "source_priority": 0}]
+    oracle = kg_oracle.merge_items({"github:a/b": "Q1"}, sources=sources)
+    ostmts = [(s["pid"], s["object"]) for s in oracle[0]["statements"]]
+    assert sorted(ostmts) == sorted(stmts)
+
+
+def test_date_precision_merge_keeps_winner_qualifiers(spark):
+    """When a more precise date replaces a less precise twin, the
+    precise statement wins WHOLESALE — object and qualifiers together
+    (ReconcileDates keeps the winner slot, reconciler.cc:568-623)."""
+    from sling_spark.kg.reconcile import merge_items, reconcile_items
+    from sling_spark.oracle import kg_oracle
+
+    schema = (
+        "id string, name string, types array<string>, "
+        "statements array<struct<pid string, object string, "
+        "qualifiers map<string,string>>>, source_priority int"
+    )
+    items = spark.createDataFrame(
+        [("Q9", "Thing", [],
+          [{"pid": "P6", "object": "2014", "qualifiers": {}}], 0),
+         ("Q9", None, [],
+          [{"pid": "P6", "object": "2014-02-01",
+            "qualifiers": {"since": "x"}}], 1)],
+        schema,
+    )
+    clusters = spark.createDataFrame([], "member_id string, canonical_id string")
+    merged = merge_items(reconcile_items(items, clusters)).collect()
+    assert len(merged) == 1
+    st = [s for s in merged[0]["statements"] if s["pid"] == "P6"]
+    assert len(st) == 1
+    assert st[0]["object"] == "2014-02-01"
+    assert dict(st[0]["qualifiers"]) == {"since": "x"}
+
+    sources = [
+        {"id": "Q9", "name": "Thing", "types": [], "source_priority": 0,
+         "statements": [{"pid": "P6", "object": "2014", "qualifiers": {}}]},
+        {"id": "Q9", "name": None, "types": [], "source_priority": 1,
+         "statements": [{"pid": "P6", "object": "2014-02-01",
+                         "qualifiers": {"since": "x"}}]},
+    ]
+    oracle = kg_oracle.merge_items({}, sources=sources)
+    ost = [s for s in oracle[0]["statements"] if s["pid"] == "P6"]
+    assert ost[0]["object"] == "2014-02-01"
+    assert ost[0]["qualifiers"] == {"since": "x"}

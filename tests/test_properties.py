@@ -548,3 +548,16 @@ def test_xml_charref_whitespace_not_dropped():
     assert parse_xml_frame("<a>hello&#32;world</a>") == ("a", "hello world")
     assert parse_xml_frame("<a>hello&#10;world</a>") == ("a", "hello\nworld")
     assert parse_xml_frame("<a>hello\nworld</a>") == ("a", "hello\nworld")
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3), max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_sentence_bounds_twins_agree(brks):
+    """mentions._sentence_bounds (NumPy, chart hot path) and
+    biaffine.sentence_bounds (loop, decoder ops) encode the SAME
+    brk>=2 window rule — a drift would make the mention chart and the
+    biaffine/BIO decoders disagree on sentence windows."""
+    from sling_spark.kg.biaffine import sentence_bounds
+    from sling_spark.kg.mentions import _sentence_bounds
+
+    assert _sentence_bounds(brks) == sentence_bounds(brks)
