@@ -53,7 +53,14 @@ def token_fp(word: str) -> int:
 
 
 def fingerprint_cat(fp1: int, fp2: int) -> int:
-    """Order-sensitive mix of two fingerprints (FingerprintCat semantics)."""
+    """Order-sensitive mix of two fingerprints (FingerprintCat
+    semantics). Only 0 is remapped (to 2): a mix landing on exactly 1
+    (probability ~2^-63 per phrase) would read as FP_SKIPPED — accepted,
+    because the reference's Mix remaps NEITHER sentinel and the
+    vectorized twin (mentions.py span enumeration, `np.where(cat == 0,
+    2, cat)`) must stay bit-identical to this scalar; remapping 1 here
+    without re-deriving the trained-model artifacts would break that
+    parity for no practical gain."""
     return (((fp1 * _MIX_MULT) & _MASK63) ^ fp2) & _MASK63 or 2
 
 

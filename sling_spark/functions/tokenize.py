@@ -205,13 +205,13 @@ def phrase_fingerprint(text: str) -> int:
 
 
 def phrase_form(text: str) -> int:
-    """Case form of a phrase under this tokenizer (alpha tokens only)."""
-    from .normalize import CASE_NONE
+    """Case form of a phrase under this tokenizer — delegates the fold
+    to normalize.phrase_case_form so the shared-form-else-NONE rule
+    lives in one place (token forms come from the same case_form, so
+    the fold is identical)."""
+    from .normalize import phrase_case_form
 
-    forms = [t.form for t in tokenize(text) if any(c.isalpha() for c in t.word)]
-    if not forms:
-        return CASE_NONE
-    return forms[0] if all(f == forms[0] for f in forms) else CASE_NONE
+    return phrase_case_form([t.word for t in tokenize(text)])
 
 
 def sentences(tokens: list[Token]) -> list[tuple[int, int]]:

@@ -602,7 +602,11 @@ class CasparModel:
         brks_all = np.concatenate(
             [np.asarray(d["brks"], dtype=np.int64) for d in docs]
         )
-        doc_starts = offs[:-1]
+        # zero-token docs: their start offset equals the next doc's (or
+        # one past the end for a trailing empty doc) — filter exactly
+        # like batch_encode does, or the sentence-break write indexes
+        # out of range
+        doc_starts = offs[:-1][offs[:-1] < len(brks_all)]
         brks_all[doc_starts] = 3
         base, starts = raw_encode(
             fps_all, words_all, brks_all, TOK_DIM, doc_starts

@@ -66,7 +66,13 @@ def triple_set(rows) -> set:
 
 
 def evaluate_aspects(pred: dict[str, set], gold: dict[str, set]) -> dict[str, PRF]:
-    scores = {k: PRF.score(pred[k], gold[k]) for k in pred}
+    # union of aspect keys: a gold-only aspect must show recall 0 in
+    # the per-aspect report (not vanish into TOTAL), and a pred-only
+    # aspect scores precision against an empty gold set (no KeyError)
+    scores = {
+        k: PRF.score(pred.get(k, set()), gold.get(k, set()))
+        for k in sorted(set(pred) | set(gold))
+    }
     all_pred = {(k, v) for k, s in pred.items() for v in s}
     all_gold = {(k, v) for k, s in gold.items() for v in s}
     scores["TOTAL"] = PRF.score(all_pred, all_gold)

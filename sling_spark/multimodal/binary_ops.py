@@ -48,7 +48,9 @@ def byte_features(media: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            # NULL payloads (failed upstream fetch) score as empty
+            # bytes instead of crashing the task on bytes(None)
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
             n = len(payloads)
             lens = np.array([len(p) for p in payloads], dtype=np.int64)
             if n and lens.sum():
@@ -105,7 +107,9 @@ def decode_images(
                         "image codec not available in this environment; "
                         "use decode_mode='fake' or install a codec"
                     )
-                pixels = _fake_decode(bytes(r.payload), w, h)
+                pixels = _fake_decode(
+                    b"" if r.payload is None else bytes(r.payload), w, h
+                )
                 rows.append(
                     {
                         "media_id": r.media_id,

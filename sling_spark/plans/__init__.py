@@ -30,16 +30,22 @@ def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
 
 
 def assert_pruned_schema(df: DataFrame, table_hint: str, max_cols: int) -> None:
-    """The scan's ReadSchema must not exceed max_cols columns (column
-    pruning happened)."""
+    """EVERY scan whose detail block mentions ``table_hint`` must read
+    at most max_cols columns (column pruning happened). The hint is
+    matched within the scan's own block, not the whole plan — checking
+    the first ReadSchema line while the hint sits anywhere would
+    validate the wrong scan in a multi-scan (join) plan."""
     plan = formatted_plan(df)
-    for line in plan.splitlines():
-        if "ReadSchema" in line and table_hint in plan:
-            schema = line.split("ReadSchema:", 1)[1]
-            ncols = schema.count(":")
-            assert ncols <= max_cols, f"scan reads {ncols} cols: {schema}"
-            return
-    raise AssertionError(f"no ReadSchema found in plan:\n{plan}")
+    scans = [
+        b for b in plan.split("\n\n") if "ReadSchema" in b and table_hint in b
+    ]
+    assert scans, f"no scan matching '{table_hint}' in plan:\n{plan}"
+    for block in scans:
+        for line in block.splitlines():
+            if "ReadSchema" in line:
+                schema = line.split("ReadSchema:", 1)[1]
+                ncols = schema.count(":")
+                assert ncols <= max_cols, f"scan reads {ncols} cols: {schema}"
 
 
 def assert_broadcast_join(df: DataFrame) -> None:
@@ -50,10 +56,12 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 
 def assert_partial_aggregation(df: DataFrame) -> None:
-    """HashAggregate appears twice (partial + final) around the
-    exchange — map-side combine is active."""
+    """A partial_* aggregate function appears in the plan — map-side
+    combine is active. (Counting 'HashAggregate' occurrences is
+    vacuous: formatted explain can print a node in both the tree and
+    the detail section, so one final-only aggregate counts twice.)"""
     plan = formatted_plan(df)
-    assert plan.count("HashAggregate") >= 2, f"no partial agg:\n{plan}"
+    assert "partial_" in plan, f"no partial agg:\n{plan}"
 
 
 def assert_no_cartesian(df: DataFrame) -> None:

@@ -385,3 +385,15 @@ def test_train_spec_tag_sees_transitive_deps(monkeypatch):
     # CALL time, so the walk must list it as an explicit root — this
     # asserts that listing keeps working
     assert _train_spec_tag("caspar", 40, 300) != base
+
+
+def test_fit_tolerates_trailing_empty_doc():
+    """A zero-token doc at the end of the gold list must not crash the
+    sentence-break write (its start offset is one past the token
+    arrays) — fit filters doc_starts exactly like batch_encode."""
+    from sling_spark.kg.caspar import CasparModel, fixture_gold
+
+    docs, inv = fixture_gold(4)
+    docs = docs + [{"key": "empty", "n_tokens": 0, "fps": [], "words": [],
+                    "brks": [], "actions": []}]
+    CasparModel("caspar", inv).fit(docs, epochs=1)

@@ -924,3 +924,30 @@ def test_write_triples_bucket_directory_pruning(spark, tmp_path):
     pruned = back.filter(F.col("subj_bucket") == bucket)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "subj_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_byte_features_null_payload(spark):
+    """A NULL payload (failed upstream fetch) scores as empty bytes
+    instead of crashing the task on bytes(None)."""
+    from sling_spark.multimodal.binary_ops import byte_features
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x00\x01\xff")), (2, "image", None)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in byte_features(media).collect()}
+    assert rows[1]["n_bytes"] == 3
+    assert rows[2]["n_bytes"] == 0
+
+
+def test_evaluate_aspects_key_union():
+    """Gold-only aspects appear with recall 0 (not silently dropped);
+    pred-only aspects score without KeyError."""
+    from sling_spark.kg.evaluation import evaluate_aspects
+
+    pred = {"SPAN": {1, 2}, "EXTRA": {9}}
+    gold = {"SPAN": {1, 2, 3}, "CLUSTER": {7}}
+    s = evaluate_aspects(pred, gold)
+    assert set(s) == {"SPAN", "EXTRA", "CLUSTER", "TOTAL"}
+    assert s["CLUSTER"].recall == 0.0
+    assert s["EXTRA"].precision == 0.0
