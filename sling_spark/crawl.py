@@ -219,7 +219,8 @@ class HTTPFetcher:
 
         url = f"{self.url}?id={qid}&revision={revision}&format=json"
         last: Exception | None = None
-        for _ in range(self.max_retries):
+        for attempt in range(self.max_retries):
+            final = attempt == self.max_retries - 1
             req = urllib.request.Request(
                 url, headers={"User-Agent": self.user_agent}
             )
@@ -231,15 +232,17 @@ class HTTPFetcher:
                     return None  # the only true not-found
                 if e.code == 429:  # throttle down (wikimonitor.py:185)
                     last = e
-                    time.sleep(self.throttle_sleep)
+                    if not final:  # no point sleeping before the raise
+                        time.sleep(self.throttle_sleep)
                     continue
                 raise
             except urllib.error.URLError as e:
                 # transient transport failure (DNS, connection reset):
-                # retry with the same backoff instead of crashing the
-                # ingest loop mid-run
+                # retry with a SHORT backoff (it is not a server
+                # throttle signal) instead of crashing the ingest loop
                 last = e
-                time.sleep(self.throttle_sleep)
+                if not final:
+                    time.sleep(min(2.0 * (attempt + 1), self.throttle_sleep))
         # Exhausted retries on throttle/transport errors: raise rather
         # than return None — None means "entity does not exist" to
         # callers (counted not_found / skipped), and misfiling a
@@ -500,7 +503,8 @@ def monitor_changes(db: RecordDatabase, changes: Iterable[dict], fetcher, *,
     store — the reference's monitor loop with its worker pool and
     timestamp checkpoint (wikimonitor.py:240-257, 218-226).  The store
     serializes writes internally; with ``threads>1`` fetches overlap
-    while ordered-mode PUTs keep per-key revision order.  Returns the
+    while per-key hash routing (one worker owns all events of a title)
+    plus ordered-mode PUTs keep per-key revision order.  Returns the
     outcome matrix."""
     counts: dict[str, int] = {}
     # The checkpoint must be PREFIX-SAFE under out-of-order completion:
@@ -538,34 +542,55 @@ def monitor_changes(db: RecordDatabase, changes: Iterable[dict], fetcher, *,
                     state["prefix_ts"] = int(pts)
             if (checkpoint and state["prefix_ts"] is not None
                     and state["n"] % checkpoint_interval == 0):
-                _write_checkpoint(checkpoint, state["prefix_ts"])
+                # contained like process_change errors: an escaping
+                # checkpoint-write failure would kill the worker and,
+                # once every worker died at its next boundary, the
+                # bounded queue.put/join would deadlock forever
+                try:
+                    _write_checkpoint(checkpoint, state["prefix_ts"])
+                except Exception as e:
+                    _LOG.warning("checkpoint write failed: %s", e)
 
     if threads <= 1:
         for seq, change in enumerate(changes):
             handle(change, seq)
     else:
-        queue: Queue = Queue(qsize)
+        # per-KEY ordering: all events for one title route to the SAME
+        # worker (stable hash). A single shared queue would let a
+        # log-delete and an edit for one key race across workers —
+        # db.delete ignores versions and a tombstone resets db.put's
+        # DBORDERED stale check, so out-of-order completion could
+        # resurrect a deleted item or delete a newer revision.
+        import zlib
 
-        def worker() -> None:
+        queues: list[Queue] = [
+            Queue(max(1, qsize // threads)) for _ in range(threads)
+        ]
+
+        def worker(q: Queue) -> None:
             while True:
-                item = queue.get()
+                item = q.get()
                 if item is None:
-                    queue.task_done()
+                    q.task_done()
                     return
                 try:
                     handle(item[1], item[0])
                 finally:
-                    queue.task_done()
+                    q.task_done()
 
-        pool = [threading.Thread(target=worker, daemon=True)
-                for _ in range(threads)]
+        pool = [
+            threading.Thread(target=worker, args=(q,), daemon=True)
+            for q in queues
+        ]
         for t in pool:
             t.start()
         for seq, change in enumerate(changes):
-            queue.put((seq, change))
-        for _ in pool:
-            queue.put(None)
-        queue.join()
+            key = str(change.get("title") or "")
+            queues[zlib.crc32(key.encode()) % threads].put((seq, change))
+        for q in queues:
+            q.put(None)
+        for q in queues:
+            q.join()
     # final checkpoint so a clean shutdown never replays the whole tail
     if checkpoint and state["prefix_ts"] is not None:
         _write_checkpoint(checkpoint, state["prefix_ts"])

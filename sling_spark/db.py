@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import struct
 import threading
 from typing import Iterator
@@ -301,7 +302,9 @@ class RecordDatabase:
 
 
 def _with_scheme(path: str) -> str:
-    return path if "://" in path else "file://" + path
+    # absolute path required: 'file://rel/path' parses the first
+    # segment as a HOSTNAME and pyarrow raises ArrowInvalid
+    return path if "://" in path else "file://" + os.path.abspath(path)
 
 
 # -- Spark bulk interface ----------------------------------------------------
@@ -335,9 +338,15 @@ def load_dataframe(db: RecordDatabase, df, mode: int = DBORDERED,
         if value is None or (isinstance(value, (bytes, str)) and
                              len(value) == 0):
             # tombstones first: their version is meaningless and often
-            # NULL, which must not crash the int() below
-            db.delete(row[key_col])
-            counts["deleted"] += 1
+            # NULL, which must not crash the int() below. A tombstone
+            # for an absent/already-deleted key is a no-op — count it
+            # as unchanged, not deleted, so the result matrix audits
+            # against the delta size honestly (a lost retraction must
+            # not read as applied).
+            if db.delete(row[key_col]):
+                counts["deleted"] += 1
+            else:
+                counts["unchanged"] += 1
             continue
         version = (int(row[version_col])
                    if version_col and row[version_col] is not None else 0)
@@ -410,9 +419,14 @@ def make_db_service(databases: dict[str, RecordDatabase]):
                     return self._reply(404, b"record not found")
                 return self._reply(200, rec.value,
                                    {"Version": rec.version})
-            # batch cursor fetch (dbserver.cc:247-303)
-            it = int(q.get("id", ["0"])[0])
-            num = int(q.get("n", ["1"])[0])
+            # batch cursor fetch (dbserver.cc:247-303); malformed
+            # numbers answer 400 instead of dropping the connection
+            # with an uncaught ValueError (no status line at all)
+            try:
+                it = int(q.get("id", ["0"])[0])
+                num = int(q.get("n", ["1"])[0])
+            except ValueError:
+                return self._reply(400, b"invalid cursor parameter")
             deletions = q.get("deletions", ["0"])[0] == "1"
             recs, nxt = db.next(it, num, deletions=deletions)
             body = json.dumps([
@@ -444,9 +458,15 @@ def make_db_service(databases: dict[str, RecordDatabase]):
             db, key, _ = self._route()
             if db is None or not key:
                 return self._reply(404, b"no such database")
-            size = int(self.headers.get("Content-Length", "0"))
+            try:
+                size = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                return self._reply(400, b"invalid Content-Length")
             value = self.rfile.read(size)
-            version = int(self.headers.get("Version", "0"))
+            try:
+                version = int(self.headers.get("Version", "0"))
+            except ValueError:
+                return self._reply(400, b"invalid Version header")
             mode = _MODES.get(
                 (self.headers.get("Mode") or "overwrite").lower())
             if mode is None:

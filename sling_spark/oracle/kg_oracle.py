@@ -196,19 +196,30 @@ def select_alias_rows(
     return out
 
 
-def build_phrase_table() -> dict[int, list[tuple]]:
-    selected = select_alias_rows(kb.alias_rows())
+def build_phrase_table(anchor_threshold: int = 2) -> dict[int, list[tuple]]:
+    """Lock-step with the pipeline's asset build: selection runs with
+    the SAME anchor threshold the pipeline passes (min_alias_count,
+    default 2 — select_alias_rows' own default of 100 is the
+    bootstrap-round setting) and an entry's reliable flag is the OR of
+    its selected rows' trusted bits, not hardcoded True — hardcoding
+    was invisible only because every fixture alias is trusted."""
+    selected = select_alias_rows(
+        kb.alias_rows(), anchor_threshold=anchor_threshold
+    )
     # group by (fp, entity): one row per pair after selection
-    per = defaultdict(lambda: {"count": 0, "form": None, "best": -1})
+    per = defaultdict(
+        lambda: {"count": 0, "form": None, "best": -1, "reliable": False}
+    )
     for s in selected:
         slot = per[(s["fp"], s["entity"])]
         slot["count"] += s["count"]
+        slot["reliable"] = slot["reliable"] or s["reliable"]
         if s["count"] > slot["best"]:
             slot["best"] = s["count"]
             slot["form"] = s["form"]
     table: dict[int, list[tuple]] = defaultdict(list)
     for (fp, entity), slot in per.items():
-        table[fp].append((entity, slot["count"], slot["form"], True))
+        table[fp].append((entity, slot["count"], slot["form"], slot["reliable"]))
     for fp in table:
         table[fp].sort(key=lambda t: (-t[1], t[0]))
     return dict(table)

@@ -467,3 +467,39 @@ def test_http_fetcher_retries_and_raises(monkeypatch):
 
     monkeypatch.setattr(urllib.request, "urlopen", gone)
     assert f.fetch("Q3", 9) is None  # 404 stays the only true not-found
+
+
+def test_monitor_threaded_delete_edit_ordering(tmp_path):
+    """Per-key hash routing: a log-delete AFTER the last edit of a key
+    must leave the key deleted even with threads>1 — on a shared queue
+    the delete could finish before a queued edit, whose ordered-mode
+    PUT then finds a tombstone (stale check resets) and resurrects the
+    item. A slow fetcher widens the race window; hash routing removes
+    it entirely (all Q1 events run on one worker, in stream order)."""
+    import time as _t
+
+    d = tmp_path / "delfetches"
+    d.mkdir()
+    for rev in (100, 101):
+        (d / f"Q1@{rev}.json").write_text(
+            json.dumps(_entity("Q1", f"label r{rev}")))
+    base = crawl.DirectoryFetcher(str(d))
+
+    class SlowFetcher:
+        def fetch(self, qid, revision):
+            _t.sleep(0.05)  # delete event would overtake on a shared queue
+            return base.fetch(qid, revision)
+
+    changes = [
+        {"wiki": "wikidatawiki", "title": "Q1", "type": "edit",
+         "timestamp": 1, "comment": "", "revision": {"new": 100}},
+        {"wiki": "wikidatawiki", "title": "Q1", "type": "edit",
+         "timestamp": 2, "comment": "", "revision": {"new": 101}},
+        {"wiki": "wikidatawiki", "title": "Q1", "type": "log",
+         "log_action": "delete", "timestamp": 3, "comment": ""},
+    ]
+    for threads in (1, 4):
+        db = RecordDatabase()
+        crawl.monitor_changes(db, list(changes), SlowFetcher(),
+                              threads=threads)
+        assert db.get("Q1") is None, f"threads={threads} resurrected Q1"

@@ -363,3 +363,34 @@ def test_bulk_load_null_version_tombstone(spark):
     assert db.get("q1") is None
     assert db.get("q3").version == 0  # NULL version on a live row -> 0
     assert db.get("q2").version == 1  # untouched
+
+
+def test_relative_path_persistence(tmp_path, monkeypatch):
+    """flush/open accept RELATIVE paths: 'file://rel' would parse the
+    first segment as a hostname and raise ArrowInvalid."""
+    from sling_spark.db import RecordDatabase
+
+    monkeypatch.chdir(tmp_path)
+    db = RecordDatabase()
+    db.put("k1", "v1", version=1)
+    db.flush("ckpt/db.log")
+    back = RecordDatabase.open("ckpt/db.log")
+    assert back.get("k1").value == b"v1"
+
+
+def test_load_dataframe_noop_tombstone_counts_unchanged(spark):
+    """A tombstone for an absent key is a no-op: it must count as
+    'unchanged', not 'deleted' — the epoch did not advance and NEXT
+    readers will never see a deletion, so reporting it applied would
+    hide a lost retraction."""
+    from sling_spark.db import RecordDatabase, load_dataframe
+
+    db = RecordDatabase()
+    db.put("present", "v", version=1)
+    df = spark.createDataFrame(
+        [("present", None, None), ("absent", None, None)],
+        "key string, value string, version long",
+    )
+    counts = load_dataframe(db, df)
+    assert counts["deleted"] == 1 and counts["unchanged"] == 1
+    assert db.get("present") is None

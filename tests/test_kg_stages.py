@@ -775,3 +775,73 @@ def test_date_precision_merge_keeps_winner_qualifiers(spark):
     ost = [s for s in oracle[0]["statements"] if s["pid"] == "P6"]
     assert ost[0]["object"] == "2014-02-01"
     assert ost[0]["qualifiers"] == {"since": "x"}
+
+
+def test_phrase_table_oracle_matches_pipeline_on_anchor_aliases(spark):
+    """The oracle phrase table selects with the pipeline's anchor
+    threshold (min_alias_count=2, not select_alias_rows' bootstrap
+    default of 100) and derives each entry's reliable flag from its
+    sources — an anchor-class alias (sources=4, count in [2,100)) is
+    selected by BOTH paths with reliable=False."""
+    from sling_spark.kg.phrase_table import build_phrase_table as pt_build
+    from sling_spark.kg.phrase_table import select_aliases
+    from sling_spark.oracle.kg_oracle import (
+        build_phrase_table as oracle_pt,
+        select_alias_rows,
+    )
+    from sling_spark.sources import kb
+
+    anchor = {
+        "entity": "Q1", "alias": "sparky anchor", "count": 5,
+        "form": 1, "sources": 4,
+        "fp": __import__(
+            "sling_spark.functions.tokenize", fromlist=["t"]
+        ).phrase_fingerprint("sparky anchor"),
+    }
+    rows = kb.alias_rows() + [anchor]
+    sel = select_alias_rows(rows, anchor_threshold=2)
+    picked = [r for r in sel if r["alias"] == "sparky anchor"]
+    assert picked and picked[0]["reliable"] is False
+
+    df = spark.createDataFrame(
+        rows, "entity string, alias string, fp long, count int, "
+              "form int, sources int",
+    )
+    table = {
+        r["fp"]: [(e["entity"], e["count"], e["form"], e["reliable"])
+                  for e in r["entries"]]
+        for r in pt_build(select_aliases(df, anchor_threshold=2)).collect()
+    }
+    # oracle twin over the same augmented rows, via the module seam:
+    # selection params and reliable derivation must agree entry-by-entry
+    per = {}
+    for s in sel:
+        key = (s["fp"], s["entity"])
+        slot = per.setdefault(
+            key, {"count": 0, "form": None, "best": -1, "reliable": False})
+        slot["count"] += s["count"]
+        slot["reliable"] = slot["reliable"] or s["reliable"]
+        if s["count"] > slot["best"]:
+            slot["best"], slot["form"] = s["count"], s["form"]
+    want = {}
+    for (fp, entity), slot in per.items():
+        want.setdefault(fp, []).append(
+            (entity, slot["count"], slot["form"], slot["reliable"]))
+    for fp in want:
+        want[fp].sort(key=lambda t: (-t[1], t[0]))
+    assert table == want
+    # and the default oracle (fixture-only) equals the pipeline default
+    fixture_sel = select_aliases(
+        spark.createDataFrame(
+            kb.alias_rows(),
+            "entity string, alias string, fp long, count int, "
+            "form int, sources int",
+        ),
+        anchor_threshold=2,
+    )
+    fixture_table = {
+        r["fp"]: [(e["entity"], e["count"], e["form"], e["reliable"])
+                  for e in r["entries"]]
+        for r in pt_build(fixture_sel).collect()
+    }
+    assert fixture_table == oracle_pt()

@@ -34,6 +34,8 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(inf) raises — report, don't crash
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -70,6 +72,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd name must not skip everything and print ALL OK
+            print(f"ERROR unknown queries: {unknown}")
+            print(f"      available: {sorted(qs)}")
+            return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -106,8 +115,9 @@ def main() -> int:
             hs, ls = table_hash(cols, rows)
             ho, lo = table_hash(ocols, orows)
             if hs != ho:
-                diff_a = [l for l in ls if l not in set(lo)][:3]
-                diff_b = [l for l in lo if l not in set(ls)][:3]
+                lo_set, ls_set = set(lo), set(ls)  # hoisted: O(n+m)
+                diff_a = [l for l in ls if l not in lo_set][:3]
+                diff_b = [l for l in lo if l not in ls_set][:3]
                 problems.append(f"valuehash; spark-only={diff_a} duck-only={diff_b}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
