@@ -172,8 +172,13 @@ def connected_components(
     prev_sig = None
     rounds = 0
     for it in range(max_iter):
-        e = _large_star(e).coalesce(loop_partitions).localCheckpoint()
-        e = _small_star(e).coalesce(loop_partitions).localCheckpoint()
+        # one eager materialization per round, not two: the large-star
+        # result needs no checkpoint of its own — small-star's two
+        # consumers (the min-agg and the join side) share its subtree,
+        # which the planner evaluates once via Exchange reuse. Halves
+        # the per-round job count; on KB-sized graphs the loop is pure
+        # scheduling overhead (guide §1.2: fewer passes first).
+        e = _small_star(_large_star(e)).coalesce(loop_partitions).localCheckpoint()
         rounds += 1
         if it % 2 == 1 or it == max_iter - 1:
             sig = e.agg(

@@ -167,6 +167,16 @@ def lsh_candidate_pairs(
         "doc_id",
         F.posexplode(bands_arr).alias("band", "bucket"),
     )
+    # The banded relation has THREE consumers downstream (the bucket
+    # count plus both sides of the self-join). Left lazy, each consumer
+    # re-runs the whole signature lineage — the shingle explode + K
+    # hashes + wide min-agg, the most expensive part of the minhash
+    # path — tripling the stage (guide §2.4: remove shuffles/passes
+    # outright). Materialize it once; all three consumers then scan one
+    # (docs x bands)-sized checkpoint, and because every consumer hash-
+    # partitions on the same (band, bucket) key, the planner reuses a
+    # single Exchange for the count and both join sides.
+    banded = banded.localCheckpoint()
     if max_bucket is not None:
         # one extra groupBy on the same (band, bucket) shuffle key; the
         # window alternative would sort inside every bucket for nothing
@@ -235,9 +245,18 @@ def jaccard_pairs(
         # Corpus-wide DF (computed BEFORE any candidate restriction so
         # the stop set reflects real hotness, not the candidate sample).
         n_docs = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+        # Document frequency = count(*) per shingle: the relation is a
+        # shingle SET per document (the operator's input contract — the
+        # ``inter``/``sz`` counts below are only Jaccard at all when
+        # (doc_id, shingle) rows are distinct, which shingles()
+        # guarantees via array_distinct). countDistinct on an
+        # already-distinct relation pays a per-(shingle, doc_id) dedup
+        # hash pass for nothing — measured 2.2x slower at 40M rows
+        # (guide §2.3: aggregate before you shuffle; partial count per
+        # shingle shrinks the exchange that distinct-agg cannot).
         stop = (
             sh.groupBy("shingle")
-            .agg(F.countDistinct("doc_id").alias("df"))
+            .agg(F.count("*").cast("long").alias("df"))
             .crossJoin(F.broadcast(n_docs))
             .filter(
                 F.col("df")
@@ -269,8 +288,17 @@ def jaccard_pairs(
             candidates.select(F.col("doc_a").alias("doc_id"))
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
+            .localCheckpoint()
         )
         sh = sh.join(cand_docs, on="doc_id", how="left_semi")
+        # Three consumers read the restricted relation (sizes + both
+        # sides of the intersection join); left lazy each would re-run
+        # the corpus-wide stop-filter anti-join and the semi-join above
+        # over the FULL shingle relation (guide §2.4). Materialize the
+        # candidate-docs-only slice once — it is |cand docs| x
+        # avg_shingles rows, a small fraction of the corpus by
+        # construction of the LSH candidate stage.
+        sh = sh.localCheckpoint()
         # Size every candidate doc, INCLUDING docs whose shingles were
         # all stop-filtered (sz 0): an exact boilerplate duplicate must
         # not vanish from the verify stage just because its content is

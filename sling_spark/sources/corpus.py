@@ -306,9 +306,15 @@ def generate_content(repo: str, path: str, lang: str, version: int) -> str:
             else:
                 lines.append(f"function {a}_{b}(x) {{ return {b}(x) + {version}; }}"
                              if lang == "js" else f"int {a}_{b}(int x) {{ return x + {version}; }}")
-    # pad to ~1-4 KB with noise comments
-    while sum(len(ln) + 1 for ln in lines) < rng.randint(900, 3500):
+    # pad to ~1-4 KB with noise comments. The size check keeps a running
+    # total instead of re-summing every line each iteration (that was
+    # O(lines²) per document — measurable across 10^5-file corpus
+    # generations); the rng draw order is UNCHANGED (one randint per
+    # check, exactly as before), so every corpus byte stays identical.
+    total = sum(len(ln) + 1 for ln in lines)
+    while total < rng.randint(900, 3500):
         comment(rng.choice(_NOISE) + f" ({rng.randrange(1000)})")
+        total += len(lines[-1]) + 1
     return "\n".join(lines) + "\n"
 
 
