@@ -91,13 +91,24 @@ def doc_stats(documents_raw: DataFrame) -> DataFrame:
     def tok(batches):
         import numpy as np
 
-        from ..functions.tokenize import tokenize_arrays
+        from ..functions.tokenize import _TOKEN_RE, word_attrs
 
         for pdf in batches:
             data = {"repo": [], "path": [], "commit": [], "n_tokens": [],
                     "fp_unique": []}
+            findall = _TOKEN_RE.findall
             for row in pdf.itertuples(index=False):
-                fps = tokenize_arrays(row.content).fps
+                # stats need only token COUNT and the distinct
+                # fingerprint set: findall + the per-word attr cache
+                # skip the offset/break bookkeeping of a full tokenize
+                # (same regex, same per-word fp — token identity and
+                # order are untouched, so n_tokens/fp_unique are
+                # bit-identical; guide §1.2 per-task work)
+                words = findall(row.content)
+                fps = np.fromiter(
+                    (word_attrs(w)[0] for w in words),
+                    dtype=np.uint64, count=len(words),
+                )
                 uniq = np.unique(fps)  # sorted distinct
                 data["repo"].append(row.repo)
                 data["path"].append(row.path)
