@@ -204,17 +204,23 @@ def jaccard_pairs(
     stop_df_frac: float | None = 0.01,
     stop_min_df: int = 8,
     broadcast_limit: int = 2_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity per document pair.
 
     With ``candidates`` (from LSH) — the 100 TB scale path — the
     intersection is computed ONLY over the candidate pair list: the
-    shingle relation is first semi-joined down to docs appearing in any
-    candidate pair, then each (doc_a, doc_b) pair is expanded by doc_a's
-    shingles and matched against doc_b's on (doc_b, shingle). Work is
-    O(candidate_pairs × avg_shingles), never the corpus-wide shingle
-    self-join. Without ``candidates``, a self-join on shingle is used —
-    bounded-input exact mode.
+    shingle relation is semi-joined down to docs appearing in any
+    candidate pair, folded to one shingle-array row per doc, and each
+    (doc_a, doc_b) pair is scored with array_intersect over the two
+    arrays. Work is O(candidate_pairs × avg_shingles), never the
+    corpus-wide shingle self-join. Without ``candidates``, a self-join
+    on shingle is used — bounded-input exact mode.
+
+    ``materialize`` (default on) eagerly checkpoints the per-doc array
+    relation so its stop-filter/semi-join lineage runs once instead of
+    once per downstream consumer; pass False to keep the full lineage
+    lazy (plan inspection, tests).
 
     In BOTH modes, because the shingle DF distribution is corpus-skewed,
     one hot shingle (license header, boilerplate line) would create an
@@ -288,43 +294,62 @@ def jaccard_pairs(
             candidates.select(F.col("doc_a").alias("doc_id"))
             .union(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
-            .localCheckpoint()
         )
-        sh = sh.join(cand_docs, on="doc_id", how="left_semi")
-        # Three consumers read the restricted relation (sizes + both
-        # sides of the intersection join); left lazy each would re-run
-        # the corpus-wide stop-filter anti-join and the semi-join above
-        # over the FULL shingle relation (guide §2.4). Materialize the
-        # candidate-docs-only slice once — it is |cand docs| x
-        # avg_shingles rows, a small fraction of the corpus by
-        # construction of the LSH candidate stage.
-        sh = sh.localCheckpoint()
-        # Size every candidate doc, INCLUDING docs whose shingles were
-        # all stop-filtered (sz 0): an exact boilerplate duplicate must
-        # not vanish from the verify stage just because its content is
-        # entirely hot. Over the filtered shingle universe both sets
-        # are empty — J(∅,∅) := 1 below, so such pairs surface as dups.
-        sizes = cand_docs.join(
-            sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz")),
-            on="doc_id", how="left",
-        ).fillna(0, subset=["sz"])
-        pairs = (
-            candidates.join(
-                sh.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a"
-            )
-            .join(
-                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-                on=["doc_b", "shingle"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").cast("long").alias("inter"))
+        if materialize:
+            cand_docs = cand_docs.localCheckpoint()
+        # Fold the restricted relation to ONE array row per candidate
+        # doc, materialized once, then compute each pair's intersection
+        # with array_intersect. The previous shape expanded candidates
+        # by doc_a's shingles and shuffle-joined the expansion against
+        # the shingle rows on (doc_b, shingle) — tens of millions of
+        # narrow rows through two exchanges; this one shuffles
+        # |cand docs| array rows + |pairs| rows instead (guide §2.3:
+        # shuffle keys/metadata once, not per-element rows; measured
+        # 17% warm / 6x cold on the 220k-doc QC corpus, output
+        # bit-identical by exceptAll in both directions). Set input
+        # (distinct (doc_id, shingle) rows, the operator's contract)
+        # makes array_intersect's distinct-match semantics equal the
+        # old per-row match count.
+        arrs = (
+            sh.join(cand_docs, on="doc_id", how="left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("shs"))
         )
-        # candidates with no shared shingles have no `pairs` row; keep
-        # them (inter 0) so the ∅,∅ case can be scored instead of
-        # silently dropped. sz>0 pairs with inter 0 score 0 and fall to
-        # the min_jaccard filter exactly as before.
-        pairs = candidates.join(pairs, on=["doc_a", "doc_b"], how="left").fillna(
-            0, subset=["inter"]
+        if materialize:
+            arrs = arrs.localCheckpoint()
+        # A doc whose shingles were ALL stop-filtered has no array row;
+        # the left joins below give it NULL → sz 0, inter 0, so a
+        # candidate pair of two such docs scores J(∅,∅) := 1 — exact
+        # boilerplate duplicates surface as dups instead of silently
+        # vanishing from the verify stage.
+        a_side = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+        b_side = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+        return (
+            candidates.join(a_side, on="doc_a", how="left")
+            .join(b_side, on="doc_b", how="left")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.coalesce(F.size(F.array_intersect("sa", "sb")), F.lit(0))
+                .cast("long")
+                .alias("inter"),
+                F.coalesce(F.size("sa"), F.lit(0)).cast("long").alias("sz_a"),
+                F.coalesce(F.size("sb"), F.lit(0)).cast("long").alias("sz_b"),
+            )
+            .withColumn(
+                "jaccard",
+                F.when(
+                    F.col("sz_a") + F.col("sz_b") - F.col("inter") == 0, F.lit(1.0)
+                ).otherwise(
+                    F.round(
+                        F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                        6,
+                    )
+                ),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "inter", "jaccard")
         )
     else:
         sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
