@@ -741,10 +741,16 @@ WHERE h.n_contaminated > 0
 def q_doc_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard over the near-dup fixture, pairs >= 0.6."""
     corpus = _docs_with_dups(spark, sf_dir)
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    grams = _gram3(toks)
-    sh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    # two-step projection: tokenize once behind a projection boundary
+    # (the gram window references the array 4x; inlined, the Generate
+    # node re-evaluates the split per reference — see operators/dedup.py
+    # shingles())
+    toked = corpus.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_gram3(F.col("toks")))).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     pairs = (
@@ -801,9 +807,13 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
 def _portable_minhash_df(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     """Portable minhash signature (md5-based hash + affine permutations,
     identical expression tree available in DuckDB) over (doc_id, text)."""
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    grams = _gram3(toks)
-    sh = docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_gram3(F.col("toks")))).alias("shingle"),
+    )
     h31 = _portable_hash(F.col("shingle")) % H31
     base = sh.select("doc_id", h31.alias("h"))
     aggs = []

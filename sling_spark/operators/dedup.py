@@ -75,15 +75,25 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda x: F.length(x) > 0,
     )
-    ln = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    grams = F.slice(toks, 1, ln)
+    # Two-step projection: materialize the token array once, THEN build
+    # the gram window from the column reference. Inlined into the
+    # explode expression, the tokenize subtree (split + filter) appears
+    # four times (size + three slices) and the Generate node re-evaluates
+    # it per reference — CollapseProject keeps this boundary because the
+    # alias is non-cheap and multiply-referenced. Measured 3.6 → 2.5 s
+    # warm on the 220k-doc QC corpus, identical output (guide §1.2
+    # per-task work).
+    with_toks = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    tk = F.col("toks")
+    ln = F.greatest(F.size(tk) - (n - 1), F.lit(1))
+    grams = F.slice(tk, 1, ln)
     for k in range(1, n):
         grams = F.zip_with(
-            grams, F.slice(toks, k + 1, ln),
+            grams, F.slice(tk, k + 1, ln),
             lambda x, y: F.concat_ws(" ", x, y),
         )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return with_toks.select(
+        "doc_id",
         F.explode(F.array_distinct(grams)).alias("shingle"),
     ).filter(F.length("shingle") > 0)
 
