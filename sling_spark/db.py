@@ -461,6 +461,10 @@ def make_db_service(databases: dict[str, RecordDatabase]):
             try:
                 size = int(self.headers.get("Content-Length", "0"))
             except ValueError:
+                # the body length is unknowable, so the unread bytes
+                # would desynchronize the next request on this
+                # keep-alive connection — close it after replying
+                self.close_connection = True
                 return self._reply(400, b"invalid Content-Length")
             value = self.rfile.read(size)
             try:

@@ -177,26 +177,44 @@ def lsh_candidate_pairs(
         "doc_id",
         F.posexplode(bands_arr).alias("band", "bucket"),
     )
-    # The banded relation has THREE consumers downstream (the bucket
-    # count plus both sides of the self-join). Left lazy, each consumer
-    # re-runs the whole signature lineage — the shingle explode + K
-    # hashes + wide min-agg, the most expensive part of the minhash
-    # path — tripling the stage (guide §2.4: remove shuffles/passes
-    # outright). Materialize it once; all three consumers then scan one
-    # (docs x bands)-sized checkpoint, and because every consumer hash-
-    # partitions on the same (band, bucket) key, the planner reuses a
-    # single Exchange for the count and both join sides.
-    banded = banded.localCheckpoint()
     if max_bucket is not None:
-        # one extra groupBy on the same (band, bucket) shuffle key; the
-        # window alternative would sort inside every bucket for nothing
-        small = (
+        # Capped buckets: ONE aggregation on the (band, bucket) shuffle
+        # key collects each bucket's doc list, the size filter replaces
+        # the old count + semi-join pass, and pairs come from an array
+        # combination expression instead of a self-join — the signature
+        # lineage runs once and nothing is scanned twice (guide §2.4;
+        # the previous shape ran the bucket count plus BOTH self-join
+        # sides over the banded relation, re-running the shingle
+        # explode + K hashes + wide min-agg per consumer). Safe only
+        # because collect_list rows are bounded by ``max_bucket``
+        # (~max_bucket × id-width bytes); the uncapped path below keeps
+        # the streaming self-join. Measured 5.3 → 3.2 s warm at 220k
+        # docs post-signature, pair set identical (exceptAll 0 both
+        # ways).
+        grouped = (
             banded.groupBy("band", "bucket")
-            .count()
-            .filter(F.col("count") <= max_bucket)
-            .select("band", "bucket")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         )
-        banded = banded.join(small, on=["band", "bucket"], how="left_semi")
+        return (
+            grouped.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(F.expr(
+                            "transform(ids, x -> transform(ids, y -> struct(x, y)))"
+                        )),
+                        lambda s: s["x"] < s["y"],
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
+            .distinct()
+        )
+    # Uncapped: the self-join must stream arbitrarily large buckets.
+    # Materialize the banded relation once so the two join sides scan
+    # one checkpoint (and share one Exchange) instead of each re-running
+    # the signature lineage (guide §2.4).
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -80,6 +80,7 @@ def main() -> int:
             print(f"      available: {sorted(qs)}")
             return 2
     failures = []
+    results = {}  # name -> record for the optional JSON artifact
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -124,7 +125,26 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK    {name}: {len(rows)} rows match [{spark_t:.1f}s]")
+        results[name] = {
+            "rows_match": len(rows) == len(orows),
+            "schema_match": sorted(cols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(rows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems) or None,
+        }
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    # Optional machine-readable artifact (driver CORRECTNESS_r* schema)
+    # so full 58-query sweeps — including the entries past the driver's
+    # recording budget — can be committed and diffed per round:
+    #   CHECK_CONTRACT_JSON=CORRECTNESS_full_r06.json python tools/check_contract.py
+    out_json = os.environ.get("CHECK_CONTRACT_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {out_json} ({len(results)} entries)")
     return 1 if failures else 0
 
 
