@@ -129,6 +129,15 @@ def test_lsh_max_bucket_drops_hot_buckets(spark):
     clique = {(a, b) for a in range(1, 11) for b in range(1, 11) if a < b}
     assert clique <= full and (100, 101) in full
     assert capped & clique == set() and (100, 101) in capped
+    # the capped path emits pairs from a per-bucket array combination
+    # (single aggregation) while the uncapped path self-joins; with a
+    # cap ABOVE every bucket size the two execution strategies must
+    # produce the identical pair set
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, max_bucket=1000).collect()
+    }
+    assert loose == full
 
 
 def test_similarity_lsh_vs_bruteforce_recall(spark):
