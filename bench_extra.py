@@ -92,6 +92,11 @@ def run_qc(n_files: int) -> None:
     t["minhash_sig"] = round(time.time() - t0, 3)
 
     sc.setJobDescription("qc: lsh candidates")
+    # NOTE: mirrors bench.py's dataflow exactly — the signature agg runs
+    # INSIDE this stage (as in the frozen bench), so `minhash_sig` above
+    # is an extra informational stage and `total` double-counts it;
+    # compare `stages` to the bench wall as gen + shingle + lsh +
+    # verify + cc.
     t0 = time.time()
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes=128),

@@ -461,9 +461,13 @@ def make_db_service(databases: dict[str, RecordDatabase]):
             try:
                 size = int(self.headers.get("Content-Length", "0"))
             except ValueError:
-                # the body length is unknowable, so the unread bytes
-                # would desynchronize the next request on this
-                # keep-alive connection — close it after replying
+                size = -1
+            if size < 0:
+                # malformed OR negative: the body length is unknowable
+                # (rfile.read(-1) would block until socket EOF), so the
+                # unread bytes would desynchronize — or the read hang —
+                # the next request on this keep-alive connection; close
+                # it after replying
                 self.close_connection = True
                 return self._reply(400, b"invalid Content-Length")
             value = self.rfile.read(size)

@@ -129,6 +129,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 4,
     max_bucket: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Band the signatures; pairs sharing any band bucket are candidates.
     Shuffle key = (band, bucket_hash): near-dup docs collide, others
@@ -150,7 +151,12 @@ def lsh_candidate_pairs(
     (0.59 for the 8×4 default). For a 0.8-jaccard verify stage, 16
     bands × 8 rows over 128 hashes (threshold ≈ 0.71) keeps near-dup
     recall ≈ 1 while excluding the merely-similar mass that floods
-    buckets under the loose default."""
+    buckets under the loose default.
+
+    ``materialize`` (default on) eagerly checkpoints the banded
+    relation so its signature lineage runs once instead of once per
+    downstream consumer; pass False to keep the lineage lazy (plan
+    inspection, tests)."""
     # Guard: banding past the end of the signature would read NULLs
     # (element_at out-of-range, ANSI off) and funnel every doc into one
     # identical bucket — the exact O(n²) blowup max_bucket exists to
@@ -177,24 +183,38 @@ def lsh_candidate_pairs(
         "doc_id",
         F.posexplode(bands_arr).alias("band", "bucket"),
     )
+    # The banded relation has multiple consumers below (the bucket
+    # count/cap and the pairing); left lazy, each consumer re-runs the
+    # whole signature lineage — the shingle explode + K hashes + the
+    # wide min-agg, the most expensive part of the minhash path
+    # (guide §2.4: remove passes outright; measured 56.5 → 11.4 s warm
+    # at 220k docs for the candidate stage). ``materialize=False``
+    # keeps the lineage lazy for plan inspection/tests.
+    if materialize:
+        banded = banded.localCheckpoint()
     if max_bucket is not None:
-        # Capped buckets: ONE aggregation on the (band, bucket) shuffle
-        # key collects each bucket's doc list, the size filter replaces
-        # the old count + semi-join pass, and pairs come from an array
-        # combination expression instead of a self-join — the signature
-        # lineage runs once and nothing is scanned twice (guide §2.4;
-        # the previous shape ran the bucket count plus BOTH self-join
-        # sides over the banded relation, re-running the shingle
-        # explode + K hashes + wide min-agg per consumer). Safe only
-        # because collect_list rows are bounded by ``max_bucket``
-        # (~max_bucket × id-width bytes); the uncapped path below keeps
-        # the streaming self-join. Measured 5.3 → 3.2 s warm at 220k
-        # docs post-signature, pair set identical (exceptAll 0 both
-        # ways).
-        grouped = (
+        # Hot-bucket cap FIRST, with the constant-memory count + semi
+        # join (a boilerplate mega-bucket must be dropped before
+        # anything materializes its contents — a post-collect size
+        # filter would build the hot bucket's full doc list in one
+        # aggregation buffer before discarding it), THEN one
+        # collect_list per surviving bucket and an array combination
+        # expression instead of a self-join. The collected rows are
+        # bounded by ``max_bucket`` × id-width bytes, and pairs come
+        # from a flatMap — no join probe, no second shuffle of the
+        # banded rows (measured 5.3 → 3.2 s warm at 220k docs
+        # post-signature, pair set identical — exceptAll 0 both ways).
+        small = (
             banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "bucket")
+        )
+        grouped = (
+            banded.join(small, on=["band", "bucket"], how="left_semi")
+            .groupBy("band", "bucket")
             .agg(F.collect_list("doc_id").alias("ids"))
-            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+            .filter(F.size("ids") >= 2)
         )
         return (
             grouped.select(
@@ -210,11 +230,9 @@ def lsh_candidate_pairs(
             .select(F.col("p.x").alias("doc_a"), F.col("p.y").alias("doc_b"))
             .distinct()
         )
-    # Uncapped: the self-join must stream arbitrarily large buckets.
-    # Materialize the banded relation once so the two join sides scan
-    # one checkpoint (and share one Exchange) instead of each re-running
-    # the signature lineage (guide §2.4).
-    banded = banded.localCheckpoint()
+    # Uncapped: the self-join streams arbitrarily large buckets; both
+    # sides scan the one checkpointed banded relation and share one
+    # Exchange.
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -249,6 +267,14 @@ def jaccard_pairs(
     relation so its stop-filter/semi-join lineage runs once instead of
     once per downstream consumer; pass False to keep the full lineage
     lazy (plan inspection, tests).
+
+    Memory boundary of the array fold: one row per candidate doc holds
+    that doc's whole (stop-filtered) distinct-shingle set, so per-row
+    memory scales with document size — fine for corpora with bounded
+    documents (LLM-pipeline inputs are length-capped upstream), and the
+    stop filter removes the corpus-hot mass first; for corpora with
+    multi-GB single documents, split such documents before dedup (the
+    same requirement the mapInPandas annotators already impose).
 
     In BOTH modes, because the shingle DF distribution is corpus-skewed,
     one hot shingle (license header, boilerplate line) would create an

@@ -92,12 +92,22 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {e}",
+            }
             continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(rows)} rows (no oracle) [{spark_t:.1f}s]")
             if len(rows) == 0:
                 failures.append(name)
+            results[name] = {
+                "rows_match": len(rows) > 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(rows), "oracle_rows": None,
+                "err": "no oracle" if len(rows) else "no oracle; zero rows",
+            }
             continue
         try:
             res = con.sql(oracles[name])
@@ -106,6 +116,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(rows), "oracle_rows": None,
+                "err": f"duckdb error: {e}",
+            }
             continue
         problems = []
         if sorted(cols) != sorted(ocols):
