@@ -801,6 +801,30 @@ def test_pii_scrub_hand_checked(spark):
     assert got[2]["n_redactions"] == 0 and got[2]["clean_text"] == "clean text only"
 
 
+def test_shingles_short_doc_window(spark):
+    """Pin the gram-window semantics for docs shorter than n: a doc
+    with 0 < L < n tokens yields exactly ONE gram of all its tokens
+    (arrays_zip pads the short slices with null, concat_ws skips the
+    nulls), an empty/whitespace doc yields no rows, and L >= n yields
+    the L-n+1 sliding grams. Guards the single-pass arrays_zip window
+    construction against regressions in the null-padding seam."""
+    from sling_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "one two"),
+         (4, "one two three"), (5, "one two three four five")],
+        "doc_id int, text string",
+    )
+    per_doc: dict[int, set] = {}
+    for r in shingles(docs, "doc_id", "text", 3).collect():
+        per_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert 0 not in per_doc and 1 not in per_doc
+    assert per_doc[2] == {"one"}
+    assert per_doc[3] == {"one two"}
+    assert per_doc[4] == {"one two three"}
+    assert per_doc[5] == {"one two three", "two three four", "three four five"}
+
+
 def test_shingles_ignore_edge_whitespace(spark):
     """Java split (limit -1) keeps empty edge tokens; shingles() must
     drop them or a trailing newline perturbs the gram set ('hello
