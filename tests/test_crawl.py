@@ -301,8 +301,18 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
     that write would make the ?since= restart skip the earlier event
     forever. The fetcher below stalls the FIRST event until the second
     has completed, so a last-completed-wins checkpoint would record
-    ts=2000 while ts=1000 is still in flight."""
+    ts=2000 while ts=1000 is still in flight.
+
+    The two titles MUST route to different workers (checked below) or
+    the stall never overlaps anything: with both on one worker the
+    second change just queues behind the first, the stall only releases
+    via the watcher's fallback timeout, and the test (a) burns the full
+    timeout every run, (b) races the fetcher's own guard timeout —
+    flaky under host load — and (c) never exercises the out-of-order
+    scenario it exists for (Q1 and Q2 both crc32-route to worker 0 at
+    threads=2, which is exactly how it used to pass vacuously)."""
     import threading as _threading
+    import zlib as _zlib
 
     first_may_finish = _threading.Event()
     second_done = _threading.Event()
@@ -311,10 +321,10 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
     class StallFirstFetcher:
         def fetch(self, qid, revision):
             if qid == "Q1":
-                # wait until Q2 is fully processed (incl. its checkpoint
-                # opportunity); guard with a timeout so a bug fails the
-                # test instead of hanging it
-                assert first_may_finish.wait(timeout=30)
+                # wait until the second change is fully processed (incl.
+                # its checkpoint opportunity); guard with a timeout so a
+                # bug fails the test instead of hanging it
+                assert first_may_finish.wait(timeout=60)
             return json.dumps(_entity(qid, f"{qid} r{revision}"))
 
     db = RecordDatabase()
@@ -323,7 +333,10 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
         return {"wiki": "wikidatawiki", "title": title, "type": "edit",
                 "timestamp": ts, "comment": "", "revision": {"new": rev}}
 
-    changes = [change("Q1", 5, 1000), change("Q2", 6, 2000)]
+    # Q1 -> worker 0, Q7 -> worker 1 under the monitor's crc32 routing;
+    # pin that so a routing change cannot silently make this vacuous.
+    assert _zlib.crc32(b"Q1") % 2 != _zlib.crc32(b"Q7") % 2
+    changes = [change("Q1", 5, 1000), change("Q7", 6, 2000)]
 
     orig_process = crawl.process_change
     orig_write = crawl._write_checkpoint
@@ -332,7 +345,7 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
 
     def tracking_process(db_, ch, fetcher, **kw):
         out = orig_process(db_, ch, fetcher, **kw)
-        if ch["title"] == "Q2":
+        if ch["title"] == "Q7":
             second_done.set()
         else:
             q1_done.set()
@@ -342,6 +355,10 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
         writes.append((ts, q1_done.is_set()))
         orig_write(path, ts)
 
+    # releases the stall as soon as the second change has completed; the
+    # timeout is only a deadlock guard (shorter than the fetcher's 60 s
+    # assert guard so a genuine deadlock fails on the fetcher side with
+    # the monitor still completing)
     watcher = _threading.Thread(
         target=lambda: (second_done.wait(timeout=30),
                         first_may_finish.set()),
@@ -365,7 +382,7 @@ def test_monitor_threaded_checkpoint_is_prefix_safe(tmp_path):
     # final checkpoint (all done) is the full prefix
     assert crawl.read_checkpoint(ckpt) == 2000
     # and the store holds both events — nothing was skipped
-    assert db.get("Q1").version == 5 and db.get("Q2").version == 6
+    assert db.get("Q1").version == 5 and db.get("Q7").version == 6
 
 
 def test_monitor_threaded_survives_fetcher_errors(tmp_path):
