@@ -55,17 +55,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Word n-gram shingle set per document (distinct), JVM-side:
-    lower → split → sliding window via zip_with over n shifted slices.
+    lower → split → sliding window via arrays_zip over n shifted
+    slices + one transform building each gram string.
 
-    The window is built with n-1 zip_with passes over whole shifted
-    arrays — O(n·L) per document. The per-position formulation
-    (transform over an index array calling slice(toks, i, n) at every
-    i) re-materializes a slice per output gram, degrades to O(L²)
-    work per document, and measured 8-30× slower on 1.3 kB code docs.
-    Short docs (L < n) produce one gram of the available tokens —
-    zip_with pads the shorter side with null and concat_ws skips
-    nulls, matching the slice semantics exactly (verified bit-equal
-    via exceptAll in both directions).
+    The window is O(n·L) per document with exactly one string
+    allocation per gram (see the inline note below). The per-position
+    formulation (transform over an index array calling slice(toks, i,
+    n) at every i) re-materializes a slice per output gram, degrades
+    to O(L²) work per document, and measured 8-30× slower on 1.3 kB
+    code docs. Short docs (L < n) produce one gram of the available
+    tokens — arrays_zip pads the shorter slices with null fields and
+    concat_ws skips nulls, matching the slice semantics exactly
+    (verified bit-equal via exceptAll in both directions, and pinned
+    by test_shingles_short_doc_window).
 
     Empty tokens are dropped BEFORE windowing: Java split (limit -1)
     keeps the empty strings that leading/trailing whitespace produces,
