@@ -166,6 +166,30 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert rounds <= math.ceil(math.log2(n_edges + 1)) + 2, rounds
 
 
+def test_connected_components_pair_graph_stops_after_two_rounds(spark):
+    """A disjoint-pair forest (the near-dup mirror shape) is at its
+    fixpoint after round 1; the per-round convergence checks inside the
+    first 4 rounds must detect that at round 2 instead of running to
+    the next even-round checkpoint (round 4, the old cadence — measured
+    2x the QC clustering stage). Labels: every pair maps to its lexical
+    min."""
+    from pyspark.sql import functions as F
+
+    from sling_spark.kg.xref import connected_components
+
+    e = spark.range(500).select(
+        F.format_string("p/%04d", F.col("id")).alias("a"),
+        F.format_string("p/%04d@mirror", F.col("id")).alias("b"),
+    )
+    labels = connected_components(e)
+    assert labels.count() == 1000
+    wrong = labels.filter(
+        F.col("component") != F.regexp_replace("id", "@mirror$", "")
+    ).count()
+    assert wrong == 0
+    assert connected_components.last_rounds == 2
+
+
 def test_connected_components_parity_with_driver_union_find(spark):
     """Exact label parity against a driver-side union-find on a mixed
     adversarial graph: long chains (diameter stress), stars (skew
